@@ -1,0 +1,95 @@
+"""Qwen3-ASR-GGUF-TPU: a TPU-native (JAX/XLA/Pallas) speech-recognition framework.
+
+A from-scratch rebuild of the capabilities of the Qwen3-ASR-GGUF hybrid
+pipeline (ONNX encoder + llama.cpp GGUF decoder; see reference
+qwen_asr_gguf/inference/asr.py) as a single TPU-first JAX program:
+
+- mel frontend, audio encoder and Qwen3 decoder all run as jitted XLA
+  programs with Pallas kernels on the hot paths;
+- q4_k / int4 weight-only quantization executes as fused dequant-matmuls
+  straight from packed HBM buffers;
+- the reference's multiprocess 3-stage pipeline (encode i+1 | decode i |
+  align i-1) becomes asynchronous device dispatch;
+- scaling beyond one chip uses jax.sharding Meshes (tensor/data parallel)
+  instead of host IPC.
+
+Public API mirrors the reference product stack: `QwenASREngine`,
+`ASREngineConfig`, `QwenForcedAligner`, `TranscribeResult`, exporters and
+the OpenAI-compatible server.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from pathlib import Path
+
+__version__ = "0.1.0"
+
+_LOGGER_NAME = "qwen3_asr_gguf_tpu"
+
+
+def setup_logging(log_dir: str | None = None, level: int = logging.INFO) -> logging.Logger:
+    """Root logger writing ``logs/latest.log`` (reference: qwen_asr_gguf/__init__.py:23-54)."""
+    logger = logging.getLogger(_LOGGER_NAME)
+    if logger.handlers:
+        return logger
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
+
+    stream = logging.StreamHandler(sys.stderr)
+    stream.setLevel(logging.WARNING)
+    stream.setFormatter(fmt)
+    logger.addHandler(stream)
+
+    if log_dir is None:
+        log_dir = os.environ.get("QWEN3_ASR_TPU_LOG_DIR", "logs")
+    try:
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        fh = logging.FileHandler(Path(log_dir) / "latest.log", mode="w", encoding="utf-8")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    except OSError:
+        pass  # read-only filesystem: stream handler only
+    return logger
+
+
+logger = setup_logging()
+
+# Re-exports (lazy-friendly: keep heavy jax imports out of package import).
+from .schema import (  # noqa: E402
+    ASREngineConfig,
+    AlignerConfig,
+    DecodeResult,
+    ForcedAlignItem,
+    ForcedAlignResult,
+    TranscribeResult,
+)
+
+__all__ = [
+    "ASREngineConfig",
+    "AlignerConfig",
+    "DecodeResult",
+    "ForcedAlignItem",
+    "ForcedAlignResult",
+    "TranscribeResult",
+    "QwenASREngine",
+    "QwenForcedAligner",
+    "setup_logging",
+    "logger",
+    "__version__",
+]
+
+
+def __getattr__(name: str):
+    # Lazy imports so `import qwen3_asr_gguf_tpu` stays cheap (no jax import).
+    if name == "QwenASREngine":
+        from .runtime.engine import QwenASREngine
+
+        return QwenASREngine
+    if name == "QwenForcedAligner":
+        from .runtime.aligner import QwenForcedAligner
+
+        return QwenForcedAligner
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,20 @@
+"""Test configuration: force CPU JAX with an 8-device virtual mesh.
+
+Tests must not require TPU hardware; sharding tests run on 8 virtual CPU
+devices (the driver separately dry-runs the multichip path).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
