@@ -1,0 +1,122 @@
+"""Log-mel spectrogram frontend, as a jitted TPU program.
+
+Pipeline semantics match the reference's Whisper-style extractor
+(qwen_asr_gguf/inference/encoder.py:76-107): reflect-pad (center), Hann
+window, 400-pt rFFT at hop 160, power spectrum, 128-bin slaney mel bank
+(0-8 kHz), log10, dynamic-range clamp to (max - 8), (x+4)/4 normalize,
+truncate to len(audio)//160 frames.
+
+TPU-first design: the STFT is a dense real-DFT **matmul** (frames[F,400] x
+DFT[400,402]) instead of an FFT — at n_fft=400 the matmul rides the MXU and
+fuses with windowing and the mel projection; XLA's FFT path would be slower
+and breaks 128-lane tiling at 201 bins.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP = 160
+N_MELS = 128
+F_MAX = 8_000.0
+
+
+def _hz_to_mel_slaney(freq: np.ndarray | float) -> np.ndarray | float:
+    f_sp = 200.0 / 3
+    mels = np.asarray(freq, dtype=np.float64) / f_sp
+    min_log_hz = 1000.0
+    logstep = np.log(6.4) / 27.0
+    min_log_mel = min_log_hz / f_sp
+    return np.where(
+        np.asarray(freq) >= min_log_hz,
+        min_log_mel + np.log(np.maximum(np.asarray(freq, dtype=np.float64), 1e-10) / min_log_hz) / logstep,
+        mels,
+    )
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    f_sp = 200.0 / 3
+    freqs = np.asarray(mels, dtype=np.float64) * f_sp
+    min_log_hz = 1000.0
+    logstep = np.log(6.4) / 27.0
+    min_log_mel = min_log_hz / f_sp
+    return np.where(mels >= min_log_mel, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+
+
+def mel_filterbank(
+    sr: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_MELS,
+    f_min: float = 0.0, f_max: float = F_MAX,
+) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular filterbank [n_freqs, n_mels]."""
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0, sr // 2, n_freqs)
+    m_pts = np.linspace(_hz_to_mel_slaney(f_min), _hz_to_mel_slaney(f_max), n_mels + 2)
+    f_pts = _mel_to_hz_slaney(m_pts)
+    f_diff = np.diff(f_pts)
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0, np.minimum(down, up))
+    enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+    fb *= enorm[None, :]
+    return fb.astype(np.float32)
+
+
+@lru_cache(maxsize=2)
+def _dft_constants(n_fft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(window, dft_cos [n_fft, n_bins], dft_sin) as float32 host constants."""
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)  # periodic Hann
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[None, :]
+    n = np.arange(n_fft)[:, None]
+    ang = -2.0 * np.pi * n * k / n_fft
+    return window, np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_frames_out",))
+def _log_mel_jit(audio: jax.Array, filters: jax.Array, n_frames_out: int) -> jax.Array:
+    window, dft_cos, dft_sin = _dft_constants(N_FFT)
+    pad = N_FFT // 2
+    y = jnp.pad(audio, pad, mode="reflect")
+    num_frames = 1 + (y.shape[0] - N_FFT) // HOP
+    idx = jnp.arange(num_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
+    frames = y[idx] * jnp.asarray(window)  # [F, n_fft]
+
+    re = jnp.dot(frames, jnp.asarray(dft_cos), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(dft_sin), preferred_element_type=jnp.float32)
+    power = re * re + im * im  # [F, n_bins]
+
+    mel = jnp.dot(power, filters, preferred_element_type=jnp.float32)  # [F, n_mels]
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = log_spec[:n_frames_out]
+    log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).T  # [n_mels, F]
+
+
+class LogMelFrontend:
+    """Callable matching the reference FastWhisperMel API: audio -> [128, T]."""
+
+    def __init__(self, filter_path: str | None = None, filters: np.ndarray | None = None):
+        if filters is not None:
+            self.filters = np.asarray(filters, dtype=np.float32)
+        elif filter_path is not None:
+            self.filters = np.load(filter_path).astype(np.float32)
+        else:
+            self.filters = mel_filterbank()
+        self._filters_dev = jnp.asarray(self.filters)
+
+    def __call__(self, audio: np.ndarray | jax.Array, dtype=np.float32) -> np.ndarray:
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        n_out = int(audio.shape[-1]) // HOP
+        out = _log_mel_jit(audio, self._filters_dev, n_out)
+        return np.asarray(out, dtype=dtype)
+
+    def device_call(self, audio: jax.Array) -> jax.Array:
+        """On-device variant for fusing into the encoder program."""
+        return _log_mel_jit(audio, self._filters_dev, int(audio.shape[-1]) // HOP)

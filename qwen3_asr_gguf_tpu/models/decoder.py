@@ -1,0 +1,229 @@
+"""Qwen3 text decoder in functional JAX.
+
+Architecture semantics (reference modeling_qwen3_asr.py:840-1059):
+pre-norm blocks of [RMSNorm -> GQA attention with per-head-dim RMSNorm on
+q/k -> residual] and [RMSNorm -> SwiGLU MLP -> residual], final RMSNorm,
+untied LM head. RoPE uses rope_theta=5e6; the reference's interleaved mrope
+(mrope_section [24,20,20], modeling_qwen3_asr.py:800-817) degenerates to
+standard 1-D RoPE for ASR because all three position planes are identical
+(reference asr.py:118-119, get_rope_index :414-448), so we implement plain
+rotate-half RoPE.
+
+Weights may be dense jnp arrays or `Q4Weight` (packed int4) — `ops.qtensor.
+matmul` dispatches. All norms/softmax/RoPE run in f32; matmul activations
+in `compute_dtype` (bf16 on TPU, f32 in tests).
+
+The KV cache is a preallocated dict of [L, S_max, H_kv, hd] arrays; prefill
+always starts from position 0 (the engine clears the cache per chunk,
+mirroring reference asr.py:124).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qtensor import matmul
+from .configs import TextDecoderConfig
+
+Params = dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """positions [T] int32 -> (cos, sin) [T, head_dim] f32 (half-duplicated)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [T, H, hd]; cos/sin [T, hd]. HF rotate-half convention."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = xf * cos[:, None, :] + rotated * sin[:, None, :]
+    return out.astype(x.dtype)
+
+
+def _gqa_attention(q, k, v, mask, scale):
+    """q [T, Hq, d], k/v [S, Hkv, d], mask [T, S] bool -> [T, Hq, d]."""
+    t, hq, d = q.shape
+    s, hkv, _ = k.shape
+    g = hq // hkv
+    qg = q.reshape(t, hkv, g, d).transpose(1, 2, 0, 3)  # [Hkv, G, T, d]
+    kg = k.transpose(1, 0, 2)  # [Hkv, S, d]
+    vg = v.transpose(1, 0, 2)
+    scores = jnp.einsum("hgtd,hsd->hgts", qg.astype(jnp.float32), kg.astype(jnp.float32)) * scale
+    scores = jnp.where(mask[None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgts,hsd->hgtd", probs, vg.astype(jnp.float32))
+    return out.transpose(2, 0, 1, 3).reshape(t, hq, d).astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+
+def init_params(cfg: TextDecoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random init with stacked layers (leading axis = layer)."""
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    d, l = cfg.hidden_size, cfg.num_layers
+    hq, hkv, hd, m = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size
+
+    def w(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    ks = jax.random.split(k_layers, 7)
+    layers = {
+        "attn_norm": jnp.ones((l, d), dtype),
+        "q_proj": w(ks[0], (l, hq * hd, d)),
+        "k_proj": w(ks[1], (l, hkv * hd, d)),
+        "v_proj": w(ks[2], (l, hkv * hd, d)),
+        "o_proj": w(ks[3], (l, d, hq * hd)),
+        "q_norm": jnp.ones((l, hd), dtype),
+        "k_norm": jnp.ones((l, hd), dtype),
+        "mlp_norm": jnp.ones((l, d), dtype),
+        "gate_proj": w(ks[4], (l, m, d)),
+        "up_proj": w(ks[5], (l, m, d)),
+        "down_proj": w(ks[6], (l, d, m)),
+    }
+    return {
+        "embed": w(k_embed, (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": w(k_head, (cfg.lm_head_dim, d)),
+    }
+
+
+def init_cache(cfg: TextDecoderConfig, max_len: int, dtype=jnp.bfloat16) -> dict[str, jax.Array]:
+    shape = (cfg.num_layers, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, sin):
+    t = x_normed.shape[0]
+    hd = cfg.head_dim
+    q = matmul(x_normed, layer["q_proj"]).reshape(t, cfg.num_heads, hd)
+    k = matmul(x_normed, layer["k_proj"]).reshape(t, cfg.num_kv_heads, hd)
+    v = matmul(x_normed, layer["v_proj"]).reshape(t, cfg.num_kv_heads, hd)
+    q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _mlp(layer: Params, x_normed: jax.Array) -> jax.Array:
+    gate = matmul(x_normed, layer["gate_proj"])
+    up = matmul(x_normed, layer["up_proj"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x_normed.dtype) * up
+    return matmul(act, layer["down_proj"])
+
+
+def forward_prefill(
+    params: Params,
+    cfg: TextDecoderConfig,
+    embd: jax.Array,  # [T, D]
+    cache: dict[str, jax.Array],
+    *,
+    length: jax.Array | int | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Causal prefill from position 0. Returns (hidden [T, D], cache).
+
+    `length` (optional, <= T) masks padding rows when the prompt is padded
+    to a static bucket: keys beyond `length` never receive attention.
+    """
+    t = embd.shape[0]
+    scale = cfg.head_dim ** -0.5
+    positions = jnp.arange(t, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    mask = positions[:, None] >= positions[None, :]  # causal
+    if length is not None:
+        mask = mask & (positions[None, :] < length)
+
+    def layer_fn(h, layer):
+        attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
+        attn = _gqa_attention(q, k, v, mask, scale)
+        attn = matmul(attn.reshape(t, -1), layer["o_proj"])
+        h = h + attn
+        mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(layer, mlp_in)
+        return h, (k, v)
+
+    hidden, (ks, vs) = jax.lax.scan(layer_fn, embd, params["layers"])
+    cache_dtype = cache["k"].dtype
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, 0, 0, 0)),
+    }
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, cache
+
+
+def forward_step(
+    params: Params,
+    cfg: TextDecoderConfig,
+    embd: jax.Array,  # [D] single-token embedding
+    cache: dict[str, jax.Array],
+    pos: jax.Array,  # int32 scalar: this token's position (= current cache fill)
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One decode step; writes K/V at `pos`, attends to cache[0..pos]."""
+    s_max = cache["k"].shape[1]
+    scale = cfg.head_dim ** -0.5
+    cos, sin = rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
+    valid = jnp.arange(s_max, dtype=jnp.int32)[None, :] <= pos  # [1, S]
+
+    x = embd[None, :]  # [1, D]
+
+    def layer_fn(h, xs):
+        layer, k_cache, v_cache = xs
+        attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (pos, 0, 0)
+        )
+        attn = _gqa_attention(q, k_cache, v_cache, valid, scale)
+        attn = matmul(attn.reshape(1, -1), layer["o_proj"])
+        h = h + attn
+        mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(layer, mlp_in)
+        return h, (k_cache, v_cache)
+
+    hidden, (ks, vs) = jax.lax.scan(layer_fn, x, (params["layers"], cache["k"], cache["v"]))
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden[0], {"k": ks, "v": vs}
+
+
+def lm_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    """hidden [..., D] -> logits [..., V] (f32)."""
+    return matmul(hidden, params["lm_head"]).astype(jnp.float32)
+
+
+def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], token_ids, axis=0)

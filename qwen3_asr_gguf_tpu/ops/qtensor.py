@@ -1,0 +1,88 @@
+"""Quantized weight containers + matmul dispatch.
+
+`Q4Weight` is the device-side mirror of `formats.quants.PackedQ4`: int4
+values packed two-per-byte plus per-32-group effective scale/offset planes.
+Weights stay packed in HBM; `matmul` dequantizes on the fly — through the
+Pallas fused kernel on TPU (ops/pallas_qmm.py) or an XLA
+dequant-then-matmul fallback elsewhere.
+
+Convention: weights are [out_features, in_features] (GGUF row order), and
+``matmul(x, w) == x @ dequant(w).T``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.quants import PackedQ4
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packed", "scale", "minv"],
+    meta_fields=[],
+)
+@dataclass
+class Q4Weight:
+    packed: jax.Array  # uint8 [N, K//2]
+    scale: jax.Array  # f32 [N, K//32]
+    minv: jax.Array  # f32 [N, K//32]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        n, k2 = self.packed.shape
+        return (n, k2 * 2)
+
+    @classmethod
+    def from_packed(cls, p: PackedQ4) -> "Q4Weight":
+        return cls(
+            packed=jnp.asarray(p.packed),
+            scale=jnp.asarray(p.scale.astype(np.float32)),
+            minv=jnp.asarray(p.minv.astype(np.float32)),
+        )
+
+
+def dequant_q4(w: Q4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize to a dense [N, K] array (XLA path)."""
+    n, k = w.shape
+    low = (w.packed & 0x0F).astype(jnp.uint8)
+    high = (w.packed >> 4).astype(jnp.uint8)
+    q = jnp.stack([low, high], axis=-1).reshape(n, k)  # byte j -> elems 2j, 2j+1
+    group = k // w.scale.shape[1]
+    qf = q.reshape(n, -1, group).astype(jnp.float32)
+    dense = qf * w.scale[..., None] - w.minv[..., None]
+    return dense.reshape(n, k).astype(dtype)
+
+
+def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
+    """x [..., K] @ w.T -> [..., N]; w is Q4Weight or dense [N, K] array."""
+    if isinstance(w, Q4Weight):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from .pallas_qmm import q4_matmul
+
+            return q4_matmul(x, w)
+        dense = dequant_q4(w, dtype=x.dtype)
+        return jax.lax.dot_general(
+            x, dense,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def quantize_dense(w: np.ndarray | jax.Array, group: int = 32) -> Q4Weight:
+    """Quantize a dense [N, K] weight into the TPU int4 layout."""
+    from ..formats.quants import pack_q4_direct
+
+    return Q4Weight.from_packed(pack_q4_direct(np.asarray(w, dtype=np.float32), group=group))

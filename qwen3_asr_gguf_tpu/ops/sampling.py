@@ -1,0 +1,60 @@
+"""On-device token sampling.
+
+Reproduces the llama.cpp sampler chain the reference builds
+(llama.py:641-647): top_k(50) -> top_p(1.0) -> temperature -> categorical,
+or greedy when temperature == 0. Runs entirely on device so the decode loop
+never round-trips logits to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_topk_topp(
+    logits: jax.Array,  # [V] f32
+    key: jax.Array,
+    temperature: jax.Array,  # traced scalar (safe_decode retries escalate it)
+    top_p: jax.Array | float = 1.0,
+    top_k: int = 50,
+) -> jax.Array:
+    vals, idx = jax.lax.top_k(logits, top_k)
+    scaled = vals / jnp.maximum(temperature, 1e-6)
+    # top-p over the already-top-k'd candidates (llama.cpp order: k then p);
+    # keep tokens while the cumulative prob *before* them is < top_p, so at
+    # least one survives.
+    probs = jax.nn.softmax(scaled)
+    cum_before = jnp.cumsum(probs) - probs
+    keep = cum_before < top_p
+    masked = jnp.where(keep, scaled, -jnp.inf)
+    choice = jax.random.categorical(key, masked)
+    return idx[choice]
+
+
+@jax.jit
+def sample_greedy(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits, axis=-1)
+
+
+def sample(
+    logits: jax.Array,
+    key: jax.Array,
+    temperature: float | jax.Array,
+    top_p: float = 1.0,
+    top_k: int = 50,
+    greedy: bool = False,
+) -> jax.Array:
+    """Host-level dispatch: greedy is a static decision (T==0)."""
+    if greedy:
+        return sample_greedy(logits)
+    return sample_topk_topp(logits, key, jnp.float32(temperature), top_p, top_k)
+
+
+def argmax_range(logits: jax.Array, limit: int) -> jax.Array:
+    """Argmax restricted to classes [0, limit) — the aligner's timestamp
+    readout (reference aligner.py:317-323 argmax(logits[:4000]))."""
+    return jnp.argmax(logits[..., :limit], axis=-1)

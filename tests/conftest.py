@@ -6,10 +6,19 @@ devices (the driver separately dry-runs the multichip path).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment's sitecustomize registers the axon TPU plugin
+# and overrides jax_platforms via jax.config (env vars alone don't win).
+# Tests must run on the virtual-device CPU mesh; set QWEN3_ASR_TPU_TESTS=1
+# to run on real hardware.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # bit-stable torch oracles
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("QWEN3_ASR_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

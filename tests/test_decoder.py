@@ -1,0 +1,179 @@
+"""Text decoder parity tests.
+
+Gate (SURVEY.md §7 stage 2): greedy logits of the JAX decoder match a
+trusted reference implementation of the same architecture. We use
+HuggingFace's torch Qwen3 (same arch as Qwen3-ASR's thinker text model:
+RMSNorm, q/k head-dim norm, GQA, SwiGLU, rope_theta) as the oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_gguf_tpu.models import decoder as dec
+from qwen3_asr_gguf_tpu.models.configs import TextDecoderConfig
+
+CFG = TextDecoderConfig(
+    vocab_size=256,
+    hidden_size=64,
+    num_layers=3,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    rope_theta=5_000_000.0,
+)
+
+
+def _torch_oracle():
+    torch = pytest.importorskip("torch")
+    from transformers.models.qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads,
+        head_dim=CFG.head_dim,
+        intermediate_size=CFG.intermediate_size,
+        rope_theta=CFG.rope_theta,
+        rms_norm_eps=CFG.rms_norm_eps,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    return torch, model
+
+
+def _params_from_torch(model) -> dict:
+    sd = {k: v.detach().numpy().astype(np.float32) for k, v in model.state_dict().items()}
+    l = CFG.num_layers
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([sd[fmt.format(i)] for i in range(l)]))
+
+    layers = {
+        "attn_norm": stack("model.layers.{}.input_layernorm.weight"),
+        "q_proj": stack("model.layers.{}.self_attn.q_proj.weight"),
+        "k_proj": stack("model.layers.{}.self_attn.k_proj.weight"),
+        "v_proj": stack("model.layers.{}.self_attn.v_proj.weight"),
+        "o_proj": stack("model.layers.{}.self_attn.o_proj.weight"),
+        "q_norm": stack("model.layers.{}.self_attn.q_norm.weight"),
+        "k_norm": stack("model.layers.{}.self_attn.k_norm.weight"),
+        "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight"),
+        "gate_proj": stack("model.layers.{}.mlp.gate_proj.weight"),
+        "up_proj": stack("model.layers.{}.mlp.up_proj.weight"),
+        "down_proj": stack("model.layers.{}.mlp.down_proj.weight"),
+    }
+    return {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"]),
+        "layers": layers,
+        "final_norm": jnp.asarray(sd["model.norm.weight"]),
+        "lm_head": jnp.asarray(sd["lm_head.weight"]),
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch, model = _torch_oracle()
+    return torch, model, _params_from_torch(model)
+
+
+def test_prefill_logits_match_torch(oracle):
+    torch, model, params = oracle
+    T = 17
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, CFG.vocab_size, size=T)
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids[None])).logits[0].numpy()
+
+    embd = dec.embed_tokens(params, jnp.asarray(ids))
+    cache = dec.init_cache(CFG, 32, dtype=jnp.float32)
+    hidden, _ = dec.forward_prefill(params, CFG, embd, cache)
+    logits = np.asarray(dec.lm_logits(params, hidden))
+
+    np.testing.assert_allclose(logits, ref, atol=2e-4, rtol=2e-3)
+    assert np.array_equal(logits.argmax(-1), ref.argmax(-1)), "greedy token mismatch"
+
+
+def test_prefill_embeds_input_match_torch(oracle):
+    """ASR feeds raw embeddings (audio embd spliced in) — check inputs_embeds path."""
+    torch, model, params = oracle
+    rng = np.random.default_rng(4)
+    embd = rng.standard_normal((9, CFG.hidden_size)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        ref = model(inputs_embeds=torch.tensor(embd[None])).logits[0].numpy()
+
+    cache = dec.init_cache(CFG, 16, dtype=jnp.float32)
+    hidden, _ = dec.forward_prefill(params, CFG, jnp.asarray(embd), cache)
+    logits = np.asarray(dec.lm_logits(params, hidden))
+    np.testing.assert_allclose(logits, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_step_matches_prefill(oracle):
+    """Incremental decode over the KV cache == one-shot prefill."""
+    _, _, params = oracle
+    rng = np.random.default_rng(5)
+    T = 12
+    ids = rng.integers(0, CFG.vocab_size, size=T)
+    embd = dec.embed_tokens(params, jnp.asarray(ids))
+
+    cache = dec.init_cache(CFG, 16, dtype=jnp.float32)
+    full_hidden, _ = dec.forward_prefill(params, CFG, embd, cache)
+
+    # prefill the first 5, then step the rest one-by-one
+    cache = dec.init_cache(CFG, 16, dtype=jnp.float32)
+    _, cache = dec.forward_prefill(params, CFG, embd[:5], cache)
+    outs = []
+    for i in range(5, T):
+        h, cache = dec.forward_step(params, CFG, embd[i], cache, jnp.int32(i))
+        outs.append(np.asarray(h))
+    np.testing.assert_allclose(
+        np.stack(outs), np.asarray(full_hidden[5:]), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_prefill_length_mask_ignores_padding(oracle):
+    """Padded prefill (static bucket) must equal unpadded on the valid prefix."""
+    _, _, params = oracle
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, CFG.vocab_size, size=10)
+    embd = dec.embed_tokens(params, jnp.asarray(ids))
+    cache = dec.init_cache(CFG, 32, dtype=jnp.float32)
+
+    h_ref, _ = dec.forward_prefill(params, CFG, embd, cache)
+    padded = jnp.concatenate([embd, jnp.ones((6, CFG.hidden_size), embd.dtype)], axis=0)
+    h_pad, _ = dec.forward_prefill(params, CFG, padded, cache, length=10)
+    np.testing.assert_allclose(np.asarray(h_pad[:10]), np.asarray(h_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_quantized_params_close(oracle):
+    """q4_k-quantized matmuls stay within the reference fidelity ballpark."""
+    from qwen3_asr_gguf_tpu.ops.qtensor import quantize_dense
+
+    _, _, params = oracle
+    qlayers = dict(params["layers"])
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"):
+        w = np.asarray(params["layers"][name])
+        qlayers[name] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[quantize_dense(w[i]) for i in range(w.shape[0])],
+        )
+    qparams = dict(params, layers=qlayers)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, CFG.vocab_size, size=20)
+    embd = dec.embed_tokens(params, jnp.asarray(ids))
+    cache = dec.init_cache(CFG, 32, dtype=jnp.float32)
+    h_ref, _ = dec.forward_prefill(params, CFG, embd, cache)
+    h_q, _ = dec.forward_prefill(qparams, CFG, embd, cache)
+
+    a, b = np.asarray(h_ref).ravel(), np.asarray(h_q).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.96, f"quantized cosine {cos}"

@@ -1,0 +1,102 @@
+"""Generation runtime tests (block decode, EOS latch, sparse logits)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_gguf_tpu.models import decoder as dec
+from qwen3_asr_gguf_tpu.models.configs import TextDecoderConfig
+from qwen3_asr_gguf_tpu.runtime.generate import Generator, SparseLogitsRunner
+
+CFG = TextDecoderConfig(
+    vocab_size=128, hidden_size=32, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=8, intermediate_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dec.init_params(CFG, jax.random.key(0))
+
+
+def _manual_greedy(params, embd, n_steps):
+    """Step-by-step greedy reference using the raw model functions."""
+    cache = dec.init_cache(CFG, 256, dtype=jnp.float32)
+    hidden, cache = dec.forward_prefill(params, CFG, jnp.asarray(embd), cache)
+    logits = dec.lm_logits(params, hidden[-1])
+    toks = [int(jnp.argmax(logits))]
+    pos = embd.shape[0]
+    for _ in range(n_steps - 1):
+        e = dec.embed_tokens(params, jnp.int32(toks[-1]))
+        hidden, cache = dec.forward_step(params, CFG, e, cache, jnp.int32(pos))
+        toks.append(int(jnp.argmax(dec.lm_logits(params, hidden))))
+        pos += 1
+    return toks
+
+
+def test_block_decode_matches_manual_greedy(params, rng):
+    gen = Generator(params, CFG, n_ctx=256, eos_ids=(127,), cache_dtype=jnp.float32,
+                    bucket=16, block=8)
+    embd = rng.standard_normal((11, CFG.hidden_size)).astype(np.float32) * 0.3
+
+    state = gen.start(embd, temperature=0.0)
+    out = []
+    for _ in range(3):
+        toks, state, finished = gen.decode_block(state, temperature=0.0)
+        out.extend(toks)
+        if finished:
+            break
+
+    manual = _manual_greedy(params, embd, len(out) + 1)
+    # emitted tokens = sampled sequence (first from prefill), minus any EOS
+    expect = [t for t in manual[: len(out)] if t != 127]
+    assert out[: len(expect)] == expect
+
+
+def test_eos_latch(params, rng):
+    """After EOS is sampled, no further tokens are emitted."""
+    gen = Generator(params, CFG, n_ctx=64, eos_ids=tuple(range(128)), cache_dtype=jnp.float32,
+                    bucket=16, block=4)
+    # every token is EOS -> prefill's sample is EOS -> nothing emitted
+    embd = rng.standard_normal((5, CFG.hidden_size)).astype(np.float32)
+    state = gen.start(embd, temperature=0.0)
+    toks, state, finished = gen.decode_block(state, temperature=0.0)
+    assert toks == []
+    assert finished
+
+
+def test_sampled_decode_reproducible(params, rng):
+    gen = Generator(params, CFG, n_ctx=64, eos_ids=(127,), cache_dtype=jnp.float32,
+                    bucket=16, block=8)
+    embd = rng.standard_normal((7, CFG.hidden_size)).astype(np.float32)
+    runs = []
+    for _ in range(2):
+        state = gen.start(embd, temperature=0.8, seed=42)
+        toks, _, _ = gen.decode_block(state, temperature=0.8)
+        runs.append(toks)
+    assert runs[0] == runs[1]
+
+
+def test_context_overflow_guard(params, rng):
+    gen = Generator(params, CFG, n_ctx=32, eos_ids=(999,), cache_dtype=jnp.float32,
+                    bucket=16, block=16)
+    embd = rng.standard_normal((20, CFG.hidden_size)).astype(np.float32)
+    state = gen.start(embd, temperature=0.0)
+    toks, state, finished = gen.decode_block(state, temperature=0.0)
+    assert finished  # 20 + 16 > 32: refuses to overflow, reports done
+    assert toks == []
+
+
+def test_sparse_logits_match_full_prefill(params, rng):
+    runner = SparseLogitsRunner(params, CFG, cache_dtype=jnp.float32, bucket=16)
+    embd = rng.standard_normal((23, CFG.hidden_size)).astype(np.float32) * 0.3
+    positions = np.array([2, 7, 21], dtype=np.int32)
+
+    out = runner.logits_at(embd, positions)
+
+    cache = dec.init_cache(CFG, 32, dtype=jnp.float32)
+    hidden, _ = dec.forward_prefill(params, CFG, jnp.asarray(embd), cache)
+    ref = np.asarray(dec.lm_logits(params, hidden))[positions]
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
