@@ -99,6 +99,28 @@ def _log_mel_jit(audio: jax.Array, filters: jax.Array, n_frames_out: int) -> jax
     return ((log_spec + 4.0) / 4.0).T  # [n_mels, F]
 
 
+def log_mel_np(audio: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """Host (NumPy) twin of the jitted pipeline — bit-compatible semantics.
+
+    Used for arbitrary-length inputs (forced-aligner slices) where a device
+    recompile per length would cost more than the host matmul.
+    """
+    window, dft_cos, dft_sin = _dft_constants(N_FFT)
+    pad = N_FFT // 2
+    y = np.pad(audio.astype(np.float32), pad, mode="reflect")
+    num_frames = 1 + (len(y) - N_FFT) // HOP
+    idx = np.arange(num_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    frames = y[idx] * window
+    re = frames @ dft_cos
+    im = frames @ dft_sin
+    power = re * re + im * im
+    mel = power @ filters
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = log_spec[: audio.shape[-1] // HOP]
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return (((log_spec + 4.0) / 4.0).T).astype(np.float32)
+
+
 class LogMelFrontend:
     """Callable matching the reference FastWhisperMel API: audio -> [128, T]."""
 

@@ -1,0 +1,250 @@
+"""Checkpoint conversion toolchain.
+
+TPU-native replacement for the reference's numbered export scripts
+(00-07 / 11-17): instead of PyTorch -> ONNX -> optimize -> int4 plus
+PyTorch -> GGUF f16 -> llama-quantize q4_k, one step converts a HuggingFace
+Qwen3-ASR checkpoint (or generates a synthetic random one) into the model
+directory the engine consumes:
+
+    <model_dir>/
+      qwen3_asr_encoder.safetensors      (f32 master; int4 applied at load)
+      qwen3_asr_llm.<quant>.gguf         (decoder + vocab)
+      config.json                        (thinker config + special ids)
+      mel_filters.npy                    (00-Export-Mel-Filters equivalent)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..audio.mel import mel_filterbank
+from ..models import decoder as dec_model
+from ..models import encoder as enc_model
+from ..models import params as P
+from ..models.configs import PRESETS, ThinkerConfig, preset
+from ..text.tokenizer import BPETokenizer, build_synthetic_tokenizer
+
+ASR_ENCODER_FN = "qwen3_asr_encoder.safetensors"
+ALIGNER_ENCODER_FN = "qwen3_aligner_encoder.safetensors"
+
+
+def _thinker_ids_from_tokenizer(thinker: ThinkerConfig, tok: BPETokenizer) -> ThinkerConfig:
+    def tid(s, default):
+        try:
+            return tok.token_to_id(s)
+        except KeyError:
+            return default
+
+    im_end = tid("<|im_end|>", thinker.im_end_token_id)
+    eot = tid("<|endoftext|>", im_end)
+    return replace(
+        thinker,
+        im_start_token_id=tid("<|im_start|>", thinker.im_start_token_id),
+        im_end_token_id=im_end,
+        audio_start_token_id=tid("<|audio_start|>", thinker.audio_start_token_id),
+        audio_end_token_id=tid("<|audio_end|>", thinker.audio_end_token_id),
+        asr_text_token_id=tid("<asr_text>", thinker.asr_text_token_id),
+        timestamp_token_id=tid("<timestamp>", thinker.timestamp_token_id),
+        eos_token_ids=(im_end, eot),
+    )
+
+
+def make_synthetic_checkpoint(
+    model_dir: str,
+    preset_name: str = "tiny",
+    *,
+    seed: int = 0,
+    quant: str = "q4_k",
+    aligner: bool = False,
+) -> ThinkerConfig:
+    """Random-weight checkpoint at real architecture shapes — for tests and
+    hardware benchmarking (no public weights ship with the reference either)."""
+    thinker = preset(preset_name)
+    if aligner and thinker.text.classify_num is None:
+        thinker = replace(thinker, text=replace(thinker.text, classify_num=5000))
+
+    tok = build_synthetic_tokenizer(thinker.text.vocab_size)
+    thinker = _thinker_ids_from_tokenizer(thinker, tok)
+
+    d = Path(model_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    key = jax.random.key(seed)
+    k_enc, k_dec = jax.random.split(key)
+
+    enc_params = enc_model.init_params(thinker.audio, k_enc)
+    dec_params = dec_model.init_params(thinker.text, k_dec)
+
+    enc_fn = ALIGNER_ENCODER_FN if aligner else ASR_ENCODER_FN
+    llm_fn = f"qwen3_{'aligner' if aligner else 'asr'}_llm.{quant}.gguf"
+    P.save_encoder_safetensors(str(d / enc_fn), thinker.audio, enc_params)
+    P.save_decoder_gguf(str(d / llm_fn), thinker.text, dec_params, tok, quant=quant)
+    P.save_thinker_config(str(d), thinker)
+    np.save(d / "mel_filters.npy", mel_filterbank())
+    return thinker
+
+
+# --------------------------------------------------------------------------
+# HuggingFace checkpoint conversion
+# --------------------------------------------------------------------------
+
+_DEC_LAYER_HF = {
+    "attn_norm": "input_layernorm.weight",
+    "q_proj": "self_attn.q_proj.weight",
+    "k_proj": "self_attn.k_proj.weight",
+    "v_proj": "self_attn.v_proj.weight",
+    "o_proj": "self_attn.o_proj.weight",
+    "q_norm": "self_attn.q_norm.weight",
+    "k_norm": "self_attn.k_norm.weight",
+    "mlp_norm": "post_attention_layernorm.weight",
+    "gate_proj": "mlp.gate_proj.weight",
+    "up_proj": "mlp.up_proj.weight",
+    "down_proj": "mlp.down_proj.weight",
+}
+
+_ENC_TOP_HF = {
+    "conv1_w": "conv2d1.weight", "conv1_b": "conv2d1.bias",
+    "conv2_w": "conv2d2.weight", "conv2_b": "conv2d2.bias",
+    "conv3_w": "conv2d3.weight", "conv3_b": "conv2d3.bias",
+    "conv_out": "conv_out.weight",
+    "ln_post_w": "ln_post.weight", "ln_post_b": "ln_post.bias",
+    "proj1_w": "proj1.weight", "proj1_b": "proj1.bias",
+    "proj2_w": "proj2.weight", "proj2_b": "proj2.bias",
+}
+
+_ENC_LAYER_HF = {
+    "ln1_w": "self_attn_layer_norm.weight", "ln1_b": "self_attn_layer_norm.bias",
+    "q_w": "self_attn.q_proj.weight", "q_b": "self_attn.q_proj.bias",
+    "k_w": "self_attn.k_proj.weight", "k_b": "self_attn.k_proj.bias",
+    "v_w": "self_attn.v_proj.weight", "v_b": "self_attn.v_proj.bias",
+    "o_w": "self_attn.out_proj.weight", "o_b": "self_attn.out_proj.bias",
+    "ln2_w": "final_layer_norm.weight", "ln2_b": "final_layer_norm.bias",
+    "fc1_w": "fc1.weight", "fc1_b": "fc1.bias",
+    "fc2_w": "fc2.weight", "fc2_b": "fc2.bias",
+}
+
+
+def _load_hf_state_dict(hf_dir: str) -> dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    d = Path(hf_dir)
+    files = sorted(d.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {hf_dir}")
+    state: dict[str, np.ndarray] = {}
+    for f in files:
+        state.update(load_file(str(f)))
+    return state
+
+
+def convert_hf_checkpoint(
+    hf_dir: str,
+    model_dir: str,
+    *,
+    quant: str = "q4_k",
+    aligner: bool = False,
+) -> ThinkerConfig:
+    """HF Qwen3-ASR checkpoint dir -> engine model dir.
+
+    Strips the `thinker.` prefix and splits audio tower from text model the
+    way the reference's extract step does (05-Export-ASR-Decoder-HF.py
+    remaps thinker.model.* -> model.*); no Qwen3-VL disguise is needed
+    because our GGUF loader reads the qwen3vl schema natively.
+    """
+    state = _load_hf_state_dict(hf_dir)
+    # tolerate both raw-thinker and full-model layouts
+    prefix = "thinker." if any(k.startswith("thinker.") for k in state) else ""
+
+    with open(Path(hf_dir) / "config.json", encoding="utf-8") as f:
+        hf_cfg = json.load(f)
+    tcfg_raw = hf_cfg.get("thinker_config", hf_cfg)
+    audio_raw = tcfg_raw.get("audio_config", {})
+    text_raw = tcfg_raw.get("text_config", {})
+
+    from ..models.configs import AudioEncoderConfig, TextDecoderConfig
+
+    audio_cfg = AudioEncoderConfig(
+        num_mel_bins=audio_raw.get("num_mel_bins", 128),
+        d_model=audio_raw.get("d_model", 1024),
+        encoder_layers=audio_raw.get("encoder_layers", 24),
+        encoder_attention_heads=audio_raw.get("encoder_attention_heads", 16),
+        encoder_ffn_dim=audio_raw.get("encoder_ffn_dim", 4096),
+        downsample_hidden_size=audio_raw.get("downsample_hidden_size", 480),
+        output_dim=audio_raw.get("output_dim", 2048),
+        n_window=audio_raw.get("n_window", 100),
+        n_window_infer=audio_raw.get("n_window_infer", 400),
+        conv_chunksize=audio_raw.get("conv_chunksize", 500),
+        max_source_positions=audio_raw.get("max_source_positions", 1500),
+    )
+    head_dim = text_raw.get("head_dim", 128)
+    text_cfg = TextDecoderConfig(
+        vocab_size=text_raw.get("vocab_size", 151936),
+        hidden_size=text_raw.get("hidden_size", 2048),
+        num_layers=text_raw.get("num_hidden_layers", 28),
+        num_heads=text_raw.get("num_attention_heads", 16),
+        num_kv_heads=text_raw.get("num_key_value_heads", 8),
+        head_dim=head_dim,
+        intermediate_size=text_raw.get("intermediate_size", 6144),
+        rms_norm_eps=text_raw.get("rms_norm_eps", 1e-6),
+        rope_theta=text_raw.get("rope_theta", 5e6),
+    )
+
+    # decoder params (numpy, dense) ---------------------------------------
+    def g(name):
+        return state[prefix + name].astype(np.float32)
+
+    lm_head = g("lm_head.weight")
+    if lm_head.shape[0] != text_cfg.vocab_size and lm_head.shape[0] < 20_000:
+        text_cfg = replace(text_cfg, classify_num=int(lm_head.shape[0]))
+    layers = {
+        mine: np.stack([g(f"model.layers.{i}.{suffix}") for i in range(text_cfg.num_layers)])
+        for mine, suffix in _DEC_LAYER_HF.items()
+    }
+    dec_params = {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": g("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+
+    # encoder params -------------------------------------------------------
+    ap = prefix + "audio_tower."
+    enc_params = {mine: state[ap + suffix].astype(np.float32) for mine, suffix in _ENC_TOP_HF.items()}
+    enc_params["pos_embed"] = enc_model.sinusoid_positions(
+        audio_cfg.max_source_positions, audio_cfg.d_model
+    )
+    enc_params["layers"] = {
+        mine: np.stack(
+            [state[f"{ap}layers.{i}.{suffix}"].astype(np.float32) for i in range(audio_cfg.encoder_layers)]
+        )
+        for mine, suffix in _ENC_LAYER_HF.items()
+    }
+
+    # tokenizer ------------------------------------------------------------
+    tok_json = Path(hf_dir) / "tokenizer.json"
+    if tok_json.exists():
+        tok = BPETokenizer.from_hf_tokenizer_json(str(tok_json))
+    else:
+        tok = build_synthetic_tokenizer(text_cfg.vocab_size)
+
+    thinker = ThinkerConfig(
+        audio=audio_cfg,
+        text=text_cfg,
+        audio_token_id=tcfg_raw.get("audio_token_id", 151646),
+        audio_start_token_id=tcfg_raw.get("audio_start_token_id", 151647),
+    )
+    thinker = _thinker_ids_from_tokenizer(thinker, tok)
+
+    d = Path(model_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    enc_fn = ALIGNER_ENCODER_FN if aligner else ASR_ENCODER_FN
+    llm_fn = f"qwen3_{'aligner' if aligner else 'asr'}_llm.{quant}.gguf"
+    P.save_encoder_safetensors(str(d / enc_fn), audio_cfg, enc_params)
+    P.save_decoder_gguf(str(d / llm_fn), text_cfg, dec_params, tok, quant=quant)
+    P.save_thinker_config(str(d), thinker)
+    np.save(d / "mel_filters.npy", mel_filterbank())
+    return thinker

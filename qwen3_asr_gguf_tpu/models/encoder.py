@@ -135,8 +135,12 @@ def conv_frontend(params: Params, cfg: AudioEncoderConfig, mel: jax.Array) -> ja
     return x.reshape(n * tw, -1)
 
 
-def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array) -> jax.Array:
-    """x [B, T, D] bidirectional attention within each batch row."""
+def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array, key_mask=None) -> jax.Array:
+    """x [B, T, D] bidirectional attention within each batch row.
+
+    `key_mask` [T] bool (optional): False keys are excluded — used to hide
+    bucket padding so padded prefill equals unpadded (static shapes).
+    """
     b, t, d = x.shape
     h = cfg.encoder_attention_heads
     hd = d // h
@@ -145,6 +149,8 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array) -> jax.Array:
     v = (matmul(x, layer["v_w"]) + layer["v_b"]).reshape(b, t, h, hd)
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
     scores = scores * (hd ** -0.5)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[None, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
     out = out.reshape(b, t, d)
@@ -152,10 +158,16 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array) -> jax.Array:
 
 
 def backend_transformer(
-    params: Params, cfg: AudioEncoderConfig, hidden: jax.Array
+    params: Params, cfg: AudioEncoderConfig, hidden: jax.Array, valid_tokens=None
 ) -> jax.Array:
-    """hidden [T, d_model] -> [T, output_dim]."""
+    """hidden [T, d_model] -> [T, output_dim].
+
+    `valid_tokens` (traced int32 scalar, optional): number of leading valid
+    rows; later keys are masked out of attention (full mode only) so a
+    bucket-padded call equals the unpadded one on the valid prefix.
+    """
     t = hidden.shape[0]
+    key_mask = None
     if cfg.attention_mode == "windowed":
         win = cfg.tokens_per_window * (cfg.n_window_infer // (cfg.n_window * 2))
         pad = (-t) % win
@@ -164,9 +176,11 @@ def backend_transformer(
     else:
         x = hidden[None, :, :]
         pad = 0
+        if valid_tokens is not None:
+            key_mask = jnp.arange(t, dtype=jnp.int32) < valid_tokens
 
     def layer_fn(h, layer):
-        h = h + _mha(layer, cfg, _layer_norm(h, layer["ln1_w"], layer["ln1_b"]))
+        h = h + _mha(layer, cfg, _layer_norm(h, layer["ln1_w"], layer["ln1_b"]), key_mask)
         y = _layer_norm(h, layer["ln2_w"], layer["ln2_b"])
         y = matmul(y, layer["fc1_w"]) + layer["fc1_b"]
         y = _gelu(y)

@@ -1,0 +1,282 @@
+"""Parameter loading / saving.
+
+Decoder checkpoints use GGUF with llama.cpp qwen3 tensor naming (the same
+files the reference's converter emits, 06-Convert-ASR-Decoder-GGUF.py);
+encoder checkpoints use safetensors. Loading maps everything into the
+stacked-layer pytrees the models consume, keeping q4_k tensors packed
+(`Q4Weight`) unless a dense precision is requested.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import GGUFReader, GGUFWriter
+from ..formats import quants as q
+from ..ops.qtensor import Q4Weight
+from ..text.tokenizer import BPETokenizer
+from .configs import AudioEncoderConfig, TextDecoderConfig, ThinkerConfig
+
+# my param name -> GGUF per-layer tensor suffix
+_LAYER_MAP = {
+    "attn_norm": "attn_norm.weight",
+    "q_proj": "attn_q.weight",
+    "k_proj": "attn_k.weight",
+    "v_proj": "attn_v.weight",
+    "o_proj": "attn_output.weight",
+    "q_norm": "attn_q_norm.weight",
+    "k_norm": "attn_k_norm.weight",
+    "mlp_norm": "ffn_norm.weight",
+    "gate_proj": "ffn_gate.weight",
+    "up_proj": "ffn_up.weight",
+    "down_proj": "ffn_down.weight",
+}
+_QUANTIZABLE = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+
+
+def _load_tensor(reader: GGUFReader, name: str, *, keep_packed: bool, dtype) -> Any:
+    ti = reader.tensors[name]
+    if keep_packed and ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:
+        return Q4Weight.from_packed(reader.packed_q4(name))
+    return jnp.asarray(reader.tensor(name), dtype=dtype)
+
+
+def _stack(leaves: list[Any]) -> Any:
+    if isinstance(leaves[0], Q4Weight):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+    return jnp.stack(leaves)
+
+
+def decoder_config_from_gguf(reader: GGUFReader) -> TextDecoderConfig:
+    kv = reader.kv
+    arch = kv.get("general.architecture", "qwen3vl")
+
+    def g(suffix, default=None):
+        return kv.get(f"{arch}.{suffix}", default)
+
+    n_vocab, hidden = reader.tensors["token_embd.weight"].shape
+    head_out = reader.tensors["output.weight"].shape[0] if "output.weight" in reader.tensors else n_vocab
+    classify = head_out if head_out != n_vocab and head_out < 20_000 else None
+    return TextDecoderConfig(
+        vocab_size=n_vocab,
+        hidden_size=int(g("embedding_length", hidden)),
+        num_layers=int(g("block_count")),
+        num_heads=int(g("attention.head_count")),
+        num_kv_heads=int(g("attention.head_count_kv")),
+        head_dim=int(g("attention.key_length", 128)),
+        intermediate_size=int(g("feed_forward_length")),
+        rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        rope_theta=float(g("rope.freq_base", 5e6)),
+        classify_num=classify,
+    )
+
+
+def load_decoder_gguf(
+    path: str,
+    *,
+    precision: str = "q4_k",  # "q4_k" keeps packed weights; "bf16"/"f32" densify
+    dtype=jnp.bfloat16,
+) -> tuple[TextDecoderConfig, dict, BPETokenizer]:
+    reader = GGUFReader(path)
+    cfg = decoder_config_from_gguf(reader)
+    keep_packed = precision == "q4_k"
+    dense_dtype = jnp.float32 if precision == "f32" else dtype
+
+    layers: dict[str, Any] = {}
+    for mine, suffix in _LAYER_MAP.items():
+        packed = keep_packed and mine in _QUANTIZABLE
+        per_layer = [
+            _load_tensor(reader, f"blk.{i}.{suffix}", keep_packed=packed,
+                         dtype=jnp.float32 if "norm" in mine else dense_dtype)
+            for i in range(cfg.num_layers)
+        ]
+        layers[mine] = _stack(per_layer)
+
+    embed = jnp.asarray(reader.tensor("token_embd.weight"), dtype=dense_dtype)
+    head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
+    params = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.asarray(reader.tensor("output_norm.weight"), dtype=jnp.float32),
+        "lm_head": _load_tensor(reader, head_name, keep_packed=keep_packed, dtype=dense_dtype),
+    }
+    tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
+    return cfg, params, tokenizer
+
+
+def save_decoder_gguf(
+    path: str,
+    cfg: TextDecoderConfig,
+    params: dict,
+    tokenizer: BPETokenizer,
+    *,
+    quant: str = "q4_k",  # "q4_k" | "f16" | "f32" | "q8_0"
+    arch: str = "qwen3vl",
+) -> None:
+    """Write a decoder checkpoint our loader (and llama.cpp) can read.
+
+    Matrix weights get `quant`; norms stay f32; token_embd/output get q6_k
+    under q4_k mode (the llama.cpp q4_k_m convention) or `quant` otherwise.
+    """
+    w = GGUFWriter(path, arch=arch)
+    w.add_u32(f"{arch}.block_count", cfg.num_layers)
+    w.add_u32(f"{arch}.embedding_length", cfg.hidden_size)
+    w.add_u32(f"{arch}.attention.head_count", cfg.num_heads)
+    w.add_u32(f"{arch}.attention.head_count_kv", cfg.num_kv_heads)
+    w.add_u32(f"{arch}.attention.key_length", cfg.head_dim)
+    w.add_u32(f"{arch}.attention.value_length", cfg.head_dim)
+    w.add_u32(f"{arch}.feed_forward_length", cfg.intermediate_size)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
+    w.add_f32(f"{arch}.rope.freq_base", cfg.rope_theta)
+    w.add_string("tokenizer.ggml.model", "gpt2")
+    w.add_string("tokenizer.ggml.pre", "qwen2")
+    w.add_str_array("tokenizer.ggml.tokens", tokenizer.tokens)
+    w.add_str_array(
+        "tokenizer.ggml.merges",
+        [f"{a} {b}" for (a, b), _ in sorted(tokenizer.merge_ranks.items(), key=lambda kv: kv[1])],
+    )
+    types = [3 if t in tokenizer.special_tokens else 1 for t in tokenizer.tokens]
+    w.add_i32_array("tokenizer.ggml.token_type", types)
+    if tokenizer.eos_token_id is not None:
+        w.add_u32("tokenizer.ggml.eos_token_id", tokenizer.eos_token_id)
+
+    mat_type = {"q4_k": q.GGML_Q4_K, "q8_0": q.GGML_Q8_0, "f16": q.GGML_F16, "f32": q.GGML_F32}[quant]
+    embd_type = q.GGML_Q6_K if quant == "q4_k" else mat_type
+
+    def np32(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def rowsafe(t, arr):
+        return t if arr.shape[-1] % q.QUANT_SIZES[t][0] == 0 else q.GGML_F16
+
+    embed = np32(params["embed"])
+    w.add_tensor("token_embd.weight", embed, rowsafe(embd_type, embed))
+    w.add_tensor("output_norm.weight", np32(params["final_norm"]), q.GGML_F32)
+    head = np32(params["lm_head"])
+    w.add_tensor("output.weight", head, rowsafe(embd_type, head))
+    for mine, suffix in _LAYER_MAP.items():
+        stacked = params["layers"][mine]
+        if isinstance(stacked, Q4Weight):
+            raise ValueError("save_decoder_gguf expects dense params (dequantize first)")
+        for i in range(cfg.num_layers):
+            arr = np32(stacked[i])
+            t = rowsafe(mat_type, arr) if mine in _QUANTIZABLE else q.GGML_F32
+            w.add_tensor(f"blk.{i}.{suffix}", arr, t)
+    w.write()
+
+
+# --------------------------------------------------------------------------
+# encoder safetensors
+# --------------------------------------------------------------------------
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, name + "."))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for name, v in flat.items():
+        parts = name.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def save_encoder_safetensors(path: str, cfg: AudioEncoderConfig, params: dict) -> None:
+    from safetensors.numpy import save_file
+
+    flat = {k: np.asarray(v, dtype=np.float32) for k, v in _flatten(params).items()}
+    save_file(flat, path, metadata={"config": json.dumps(asdict(cfg))})
+
+
+def load_encoder_safetensors(
+    path: str, *, dtype=jnp.float32
+) -> tuple[AudioEncoderConfig, dict]:
+    from safetensors import safe_open
+    from safetensors.numpy import load_file
+
+    with safe_open(path, framework="numpy") as f:
+        meta = f.metadata() or {}
+    cfg = AudioEncoderConfig(**json.loads(meta["config"])) if "config" in meta else AudioEncoderConfig()
+    flat = load_file(path)
+    tree = _unflatten({k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()})
+    return cfg, tree
+
+
+def quantize_encoder_params(params: dict, *, group: int = 32) -> dict:
+    """Weight-only int4 for the encoder's matmul weights (the reference's
+    MatMulNBits int4 ONNX stage, 04-Quantize-ASR-Encoder.py)."""
+    from ..ops.qtensor import quantize_dense
+
+    out = dict(params)
+    out["conv_out"] = quantize_dense(np.asarray(params["conv_out"]), group=group)
+    out["proj1_w"] = quantize_dense(np.asarray(params["proj1_w"]), group=group)
+    out["proj2_w"] = quantize_dense(np.asarray(params["proj2_w"]), group=group)
+    layers = dict(params["layers"])
+    for name in ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"):
+        stacked = np.asarray(params["layers"][name], dtype=np.float32)
+        layers[name] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[quantize_dense(stacked[i], group=group) for i in range(stacked.shape[0])],
+        )
+    out["layers"] = layers
+    return out
+
+
+# --------------------------------------------------------------------------
+# checkpoint directories (the reference's model_dir convention)
+# --------------------------------------------------------------------------
+
+
+def save_thinker_config(model_dir: str, thinker: ThinkerConfig) -> None:
+    cfg = {
+        "audio_config": asdict(thinker.audio),
+        "text_config": asdict(thinker.text),
+        "audio_token_id": thinker.audio_token_id,
+        "audio_start_token_id": thinker.audio_start_token_id,
+        "im_start_token_id": thinker.im_start_token_id,
+        "im_end_token_id": thinker.im_end_token_id,
+        "asr_text_token_id": thinker.asr_text_token_id,
+        "audio_end_token_id": thinker.audio_end_token_id,
+        "eos_token_ids": list(thinker.eos_token_ids),
+        "timestamp_token_id": thinker.timestamp_token_id,
+        "timestamp_segment_ms": thinker.timestamp_segment_ms,
+    }
+    Path(model_dir, "config.json").write_text(json.dumps(cfg, indent=2))
+
+
+def load_thinker_config(model_dir: str) -> ThinkerConfig:
+    p = Path(model_dir, "config.json")
+    if not p.exists():
+        return ThinkerConfig()
+    raw = json.loads(p.read_text())
+    return ThinkerConfig(
+        audio=AudioEncoderConfig(**raw.get("audio_config", {})),
+        text=TextDecoderConfig(**raw.get("text_config", {})),
+        audio_token_id=raw.get("audio_token_id", 151646),
+        audio_start_token_id=raw.get("audio_start_token_id", 151647),
+        im_start_token_id=raw.get("im_start_token_id", 151644),
+        im_end_token_id=raw.get("im_end_token_id", 151645),
+        asr_text_token_id=raw.get("asr_text_token_id", 151704),
+        audio_end_token_id=raw.get("audio_end_token_id", 151648),
+        eos_token_ids=tuple(raw.get("eos_token_ids", (151645, 151643))),
+        timestamp_token_id=raw.get("timestamp_token_id", 151705),
+        timestamp_segment_ms=raw.get("timestamp_segment_ms", 80.0),
+    )

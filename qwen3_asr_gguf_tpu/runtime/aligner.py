@@ -1,0 +1,128 @@
+"""Forced aligner: non-autoregressive word-level timestamps.
+
+Reproduces the reference QwenForcedAligner (qwen_asr_gguf/inference/
+aligner.py:229-348): encode the audio, tokenize the text per language,
+build the slot-filled sequence
+
+    <|audio_start|> AUDIO_EMBD <|audio_end|> w1 <TS> <TS> w2 <TS> <TS> ...
+
+run ONE prefill with logits only at the <TS> positions, argmax over the
+timestamp classes (x 80 ms), repair monotonicity with LIS, and reconcile
+punctuation back into the timeline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..schema import AlignerConfig, ForcedAlignItem, ForcedAlignResult
+from ..text import align_text
+from ..utils.languages import normalize_language_name, validate_language
+from ..models import params as P
+from .encoder_runner import EncoderRunner
+from .generate import SparseLogitsRunner
+
+TIMESTAMP_CLASSES = 4000  # argmax window (reference aligner.py:322)
+STEP_MS = 80.0
+
+
+class QwenForcedAligner:
+    def __init__(self, config: AlignerConfig):
+        self.config = config
+        model_dir = config.model_dir
+        thinker = P.load_thinker_config(model_dir)
+        self.thinker = thinker
+
+        enc_path = os.path.join(model_dir, config.encoder_fn)
+        mel_path = os.path.join(model_dir, "mel_filters.npy")
+        enc_cfg, enc_params = P.load_encoder_safetensors(enc_path)
+        if config.precision in ("q4_k", "int4"):
+            enc_params = P.quantize_encoder_params(enc_params)
+        self.encoder = EncoderRunner(
+            enc_params, enc_cfg,
+            mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,
+        )
+
+        llm_path = os.path.join(model_dir, config.llm_fn)
+        dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
+            llm_path, precision=config.precision if config.precision != "int4" else "q4_k"
+        )
+        self.dec_cfg = dec_cfg
+        self.tokenizer = tokenizer
+        self.embedding_table = np.asarray(dec_params["embed"], dtype=np.float32)
+        self.runner = SparseLogitsRunner(dec_params, dec_cfg, n_ctx=config.n_ctx)
+
+        self.ID_AUDIO_START = thinker.audio_start_token_id
+        self.ID_AUDIO_END = thinker.audio_end_token_id
+        self.ID_TIMESTAMP = thinker.timestamp_token_id
+        self.STEP_MS = thinker.timestamp_segment_ms or STEP_MS
+
+    def align(
+        self,
+        audio: np.ndarray,
+        text: str,
+        language: str = "Chinese",
+        offset_sec: float = 0.0,
+    ) -> ForcedAlignResult:
+        if language:
+            language = normalize_language_name(language)
+            validate_language(language)
+        t_start = time.time()
+
+        audio_embd, t_enc = self.encoder.encode(audio)
+
+        words = align_text.tokenize(text, language)
+        if not words:
+            return ForcedAlignResult(items=align_text.reconcile(text, []), performance={
+                "encoder_time": t_enc, "decoder_time": 0.0, "total_time": time.time() - t_start,
+            })
+
+        pre_ids = [self.ID_AUDIO_START]
+        post_ids = [self.ID_AUDIO_END]
+        ts_positions: list[int] = []
+        prefix_len = len(pre_ids) + audio_embd.shape[0] + len(post_ids)
+        post_len = 0
+        for word in words:
+            word_tokens = self.tokenizer.encode(word, allow_special=False)
+            post_ids.extend(word_tokens)
+            post_len += len(word_tokens)
+            for _ in range(2):  # start & end slots
+                ts_positions.append(prefix_len + post_len)
+                post_ids.append(self.ID_TIMESTAMP)
+                post_len += 1
+
+        n_total = len(pre_ids) + audio_embd.shape[0] + len(post_ids)
+        full_embd = np.empty((n_total, self.dec_cfg.hidden_size), dtype=np.float32)
+        full_embd[: len(pre_ids)] = self.embedding_table[pre_ids]
+        full_embd[len(pre_ids) : len(pre_ids) + audio_embd.shape[0]] = audio_embd
+        full_embd[len(pre_ids) + audio_embd.shape[0] :] = self.embedding_table[post_ids]
+
+        t_dec0 = time.time()
+        logits = self.runner.logits_at(full_embd, np.asarray(ts_positions, dtype=np.int32))
+        limit = min(TIMESTAMP_CLASSES, logits.shape[-1])
+        raw_ts = np.argmax(logits[:, :limit], axis=-1)
+        t_dec = time.time() - t_dec0
+
+        fixed = align_text.fix_timestamps(raw_ts)
+        ms = np.asarray(fixed, dtype=np.float64) * self.STEP_MS
+        items = [
+            ForcedAlignItem(
+                text=w,
+                start_time=float(ms[i * 2] / 1000.0 + offset_sec),
+                end_time=float(ms[i * 2 + 1] / 1000.0 + offset_sec),
+            )
+            for i, w in enumerate(words)
+        ]
+        final_items = align_text.reconcile(text, items)
+        return ForcedAlignResult(
+            items=final_items,
+            performance={
+                "encoder_time": t_enc,
+                "decoder_time": t_dec,
+                "total_time": time.time() - t_start,
+            },
+        )

@@ -1,0 +1,105 @@
+"""Jitted audio-encoder executor with shape bucketing.
+
+Replaces the reference's ONNX sessions + helper subprocess
+(encoder.py:119-227 / asr_worker.py): one compiled program runs
+mel -> conv frontend -> transformer backend on device. Fixed-size ASR
+chunks (engine zero-pads every chunk to chunk_size, asr.py:317-318) hit a
+single compiled shape with the mel stage fused on device; variable-length
+aligner slices compute the mel on host (exact reference semantics,
+encoder.py:208-220) and run the encoder on a 5-second-bucketed shape with
+padded keys masked out.
+
+Dispatch is asynchronous: `encode_async` returns a device future; the
+3-stage pipeline overlap the reference built from mp.Queues falls out of
+JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import HOP, LogMelFrontend, log_mel_np
+from ..models import encoder as enc
+from ..models.configs import AudioEncoderConfig
+
+SAMPLE_RATE = 16_000
+
+
+class EncoderRunner:
+    def __init__(
+        self,
+        params: dict,
+        cfg: AudioEncoderConfig,
+        *,
+        mel_filters: np.ndarray | None = None,
+        bucket_frames: int = 500,  # 5 s granularity for variable inputs
+        warmup_sec: float = 0.0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.frontend = LogMelFrontend(filters=mel_filters)
+        # bucket must stay on the n_window conv grid
+        self.bucket_frames = max(
+            cfg.n_window, bucket_frames // cfg.n_window * cfg.n_window
+        )
+
+        @jax.jit
+        def _encode_audio(params, audio):
+            """Fused mel+encoder for hop-aligned, n_window-aligned audio."""
+            mel = self.frontend.device_call(audio)
+            hidden = enc.conv_frontend(params, cfg, mel)
+            return enc.backend_transformer(params, cfg, hidden)
+
+        @jax.jit
+        def _encode_mel(params, mel, valid_tokens):
+            hidden = enc.conv_frontend(params, cfg, mel)
+            return enc.backend_transformer(params, cfg, hidden, valid_tokens=valid_tokens)
+
+        self._encode_audio = _encode_audio
+        self._encode_mel = _encode_mel
+
+        if warmup_sec > 0:
+            noise = np.random.default_rng(0).standard_normal(
+                int(SAMPLE_RATE * warmup_sec)
+            ).astype(np.float32)
+            jax.block_until_ready(self.encode_async(noise))
+
+    # -- async dispatch ----------------------------------------------------
+
+    def encode_async(self, audio: np.ndarray) -> jax.Array:
+        """Dispatch encoding; returns an unwaited device array.
+
+        The result is [t_padded, D] with only the first
+        `valid_tokens(audio)` rows meaningful for non-aligned lengths.
+        """
+        n = int(audio.shape[-1])
+        frames = n // HOP
+        if frames == 0:
+            raise ValueError("audio shorter than one mel hop (10 ms)")
+        if n % SAMPLE_RATE == 0 and frames % self.cfg.n_window == 0:
+            return self._encode_audio(self.params, jnp.asarray(audio, dtype=jnp.float32))
+
+        # variable-length path: exact host mel, bucket-padded device encoder
+        mel = log_mel_np(audio, self.frontend.filters)  # [128, frames]
+        pad_frames = (-frames) % self.bucket_frames
+        mel_padded = np.pad(mel, ((0, 0), (0, pad_frames)))
+        valid = enc.get_feat_extract_output_lengths(frames, self.cfg.n_window)
+        return self._encode_mel(self.params, jnp.asarray(mel_padded), jnp.int32(valid))
+
+    def valid_tokens(self, audio_len: int) -> int:
+        return enc.get_feat_extract_output_lengths(audio_len // HOP, self.cfg.n_window)
+
+    # -- reference-compatible sync API ------------------------------------
+
+    def encode(self, audio: np.ndarray) -> tuple[np.ndarray, float]:
+        """audio [n] -> (embedding [T, D] f32, elapsed_s); reference
+        QwenAudioEncoder.encode signature (encoder.py:208-227)."""
+        t0 = time.time()
+        out = self.encode_async(audio)
+        embd = np.asarray(out, dtype=np.float32)[: self.valid_tokens(int(audio.shape[-1]))]
+        return embd, time.time() - t0

