@@ -1,0 +1,118 @@
+"""Headline benchmark: RTF on a ~50 s utterance, Qwen3-ASR-1.7B shapes,
+int4 encoder + q4_k decoder (the reference's published configuration:
+README.md RTF 0.052 GPU / 0.390 CPU on 50.20 s Chinese audio).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": RTF, "unit": "rtf", "vs_baseline": speedup}
+
+vs_baseline = reference_gpu_rtf / our_rtf  (>1 means faster than the
+reference's RTX-5050 DML+Vulkan pipeline).
+
+No public weights ship with the reference, so the weights are synthetic
+(random, quantized) at the real architecture shapes — identical FLOP/byte
+workload. Generation length is capped to the reference workload's ~191
+output tokens (96/chunk x 2 chunks) since random weights never emit EOS.
+The synthetic checkpoint is cached in .bench_cache/ across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_RTF_GPU = 0.052  # reference README.md:49
+REPO = Path(__file__).parent
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_audio(seconds: float = 50.2) -> np.ndarray:
+    ref_wav = Path("/root/reference/test_audio.wav")
+    if ref_wav.exists():
+        from qwen3_asr_gguf_tpu.audio.io import load_audio
+
+        audio = load_audio(str(ref_wav))
+        log(f"using reference test_audio.wav ({len(audio)/16000:.2f} s)")
+        return audio
+    t = np.arange(int(16_000 * seconds)) / 16_000
+    return (np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 3 * t) * 0.3).astype(np.float32)
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    preset_name = "qwen3-asr-1.7b" if on_tpu else "tiny"
+    log(f"backend={backend} preset={preset_name}")
+
+    from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+    from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+    from qwen3_asr_gguf_tpu.schema import ASREngineConfig
+
+    cache = REPO / ".bench_cache" / preset_name
+    llm_fn = "qwen3_asr_llm.q4_k.gguf"
+    if not (cache / llm_fn).exists():
+        log("building synthetic checkpoint (cached for future rounds)...")
+        t0 = time.time()
+        make_synthetic_checkpoint(str(cache), preset_name, quant="q4_k")
+        log(f"checkpoint built in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    engine = QwenASREngine(
+        ASREngineConfig(
+            model_dir=str(cache),
+            llm_fn=llm_fn,
+            precision="q4_k" if on_tpu else "f32",
+            n_ctx=2048,
+            chunk_size=40.0,
+            memory_num=1,
+            verbose=False,
+            max_new_tokens=96,
+            decode_block=32,
+        )
+    )
+    log(f"engine init {time.time()-t0:.2f}s")
+
+    audio = get_audio()
+    duration = len(audio) / 16_000
+
+    # warmup: compile all programs on a short clip + one full-shape chunk
+    t0 = time.time()
+    engine.asr(audio[: 16_000 * 41], context="", language="Chinese", temperature=0.0)
+    log(f"warmup (compile) {time.time()-t0:.1f}s")
+
+    results = []
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.time()
+        res = engine.asr(audio, context="", language="Chinese", temperature=0.0)
+        wall = time.time() - t0
+        results.append((wall, res.performance))
+
+    wall, perf = min(results, key=lambda r: r[0])
+    rtf = wall / duration
+    pre_tps = perf["prefill_tokens"] / perf["prefill_time"] if perf["prefill_time"] else 0
+    gen_tps = perf["decode_tokens"] / perf["decode_time"] if perf["decode_time"] else 0
+    log(
+        f"wall {wall:.2f}s audio {duration:.2f}s | prefill {perf['prefill_tokens']}tok "
+        f"@ {pre_tps:.0f}tok/s | generate {perf['decode_tokens']}tok @ {gen_tps:.0f}tok/s "
+        f"| encode wait {perf['wait_time']:.2f}s"
+    )
+
+    print(json.dumps({
+        "metric": f"rtf_50s_{preset_name}_int4_q4k",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(BASELINE_RTF_GPU / rtf, 3) if rtf > 0 else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

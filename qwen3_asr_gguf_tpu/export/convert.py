@@ -54,6 +54,22 @@ def _thinker_ids_from_tokenizer(thinker: ThinkerConfig, tok: BPETokenizer) -> Th
     )
 
 
+def _np_init_like(shapes, seed: int) -> dict:
+    """Fill a ShapeDtypeStruct pytree with numpy-initialized weights:
+    *norm*/ones-like -> 1.0, biases -> 0.0, everything else N(0, 0.02)."""
+    rng = np.random.default_rng(seed)
+
+    def fill(path, s):
+        name = ".".join(str(getattr(p, "key", p)) for p in path)
+        if "norm" in name or name.endswith(("ln1_w", "ln2_w", "ln_post_w")):
+            return np.ones(s.shape, np.float32)
+        if name.endswith("_b") or "bias" in name:
+            return np.zeros(s.shape, np.float32)
+        return (rng.standard_normal(s.shape, dtype=np.float32) * 0.02)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def make_synthetic_checkpoint(
     model_dir: str,
     preset_name: str = "tiny",
@@ -73,11 +89,20 @@ def make_synthetic_checkpoint(
 
     d = Path(model_dir)
     d.mkdir(parents=True, exist_ok=True)
-    key = jax.random.key(seed)
-    k_enc, k_dec = jax.random.split(key)
-
-    enc_params = enc_model.init_params(thinker.audio, k_enc)
-    dec_params = dec_model.init_params(thinker.text, k_dec)
+    # numpy host init: at 1.7B scale, jax's counter-based RNG on one CPU
+    # core (or a remote accelerator + ~7 GB download) is minutes; PCG64 is
+    # seconds
+    enc_params = _np_init_like(
+        jax.eval_shape(lambda k: enc_model.init_params(thinker.audio, k), jax.random.key(0)),
+        seed,
+    )
+    enc_params["pos_embed"] = enc_model.sinusoid_positions(
+        thinker.audio.max_source_positions, thinker.audio.d_model
+    )
+    dec_params = _np_init_like(
+        jax.eval_shape(lambda k: dec_model.init_params(thinker.text, k), jax.random.key(0)),
+        seed + 1,
+    )
 
     enc_fn = ALIGNER_ENCODER_FN if aligner else ASR_ENCODER_FN
     llm_fn = f"qwen3_{'aligner' if aligner else 'asr'}_llm.{quant}.gguf"

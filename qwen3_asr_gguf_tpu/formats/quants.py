@@ -334,11 +334,12 @@ def byte_width(ggml_type: int, row_elems: int) -> int:
 
 @dataclass
 class PackedQ4:
-    """TPU-friendly weight-only int4 layout.
+    """TPU-friendly weight-only int4 layout (planar nibbles).
 
-    packed : uint8 [N, K//2]  — value j at row n: low nibble of byte j//2 if
-             j even else high nibble (contiguous along K; no superblock
-             interleaving, so the kernel unpack is two shifts + masks).
+    packed : uint8 [N, K//2]  — byte j of a row holds value j in its LOW
+             nibble and value j + K//2 in its HIGH nibble, so the kernel
+             unpack is `concat([b & 0xF, b >> 4], axis=-1)` — no lane
+             interleaving.
     scale  : f32 [N, K//32]   — effective per-32-group scale (d * sc)
     minv   : f32 [N, K//32]   — effective per-32-group offset (dmin * m)
 
@@ -373,7 +374,8 @@ def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
     q = np.stack([low.reshape(nb, 4, 32), high.reshape(nb, 4, 32)], axis=2)
     q = q.reshape(nb, 256).reshape(n, k)  # unpacked nibble values, natural order
 
-    packed = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+    half = k // 2
+    packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
     return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
 
 
@@ -393,16 +395,15 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
     inv = np.where(scale > 0, 1.0 / np.where(scale == 0, 1.0, scale), 0.0)
     q = np.clip(np.rint((g - gmin[..., None]) * inv[..., None]), 0, 15).astype(np.uint8)
     q = q.reshape(n, k)
-    packed = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+    half = k // 2
+    packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
     return PackedQ4(packed=packed, scale=scale, minv=-gmin, shape=(n, k))
 
 
 def unpack_q4(p: PackedQ4) -> np.ndarray:
     """Reference dequant of PackedQ4 (oracle for the Pallas kernel)."""
     n, k = p.shape
-    q = np.empty((n, k), dtype=np.uint8)
-    q[:, 0::2] = p.packed & 0x0F
-    q[:, 1::2] = p.packed >> 4
+    q = np.concatenate([p.packed & 0x0F, p.packed >> 4], axis=-1)
     group = k // p.scale.shape[1]
     qf = q.reshape(n, -1, group).astype(np.float32)
     w = qf * p.scale[..., None] - p.minv[..., None]

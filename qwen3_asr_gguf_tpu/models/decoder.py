@@ -146,14 +146,15 @@ def forward_prefill(
     params: Params,
     cfg: TextDecoderConfig,
     embd: jax.Array,  # [T, D]
-    cache: dict[str, jax.Array],
+    cache: dict[str, jax.Array] | None,
     *,
     length: jax.Array | int | None = None,
-) -> tuple[jax.Array, dict[str, jax.Array]]:
+) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Causal prefill from position 0. Returns (hidden [T, D], cache).
 
     `length` (optional, <= T) masks padding rows when the prompt is padded
     to a static bucket: keys beyond `length` never receive attention.
+    `cache=None` skips KV writes (training / loss evaluation path).
     """
     t = embd.shape[0]
     scale = cfg.head_dim ** -0.5
@@ -174,11 +175,12 @@ def forward_prefill(
         return h, (k, v)
 
     hidden, (ks, vs) = jax.lax.scan(layer_fn, embd, params["layers"])
-    cache_dtype = cache["k"].dtype
-    cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, 0, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, 0, 0, 0)),
-    }
+    if cache is not None:
+        cache_dtype = cache["k"].dtype
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, 0, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, 0, 0, 0)),
+        }
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, cache
 

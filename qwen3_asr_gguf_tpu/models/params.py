@@ -45,6 +45,11 @@ def _load_tensor(reader: GGUFReader, name: str, *, keep_packed: bool, dtype) -> 
     ti = reader.tensors[name]
     if keep_packed and ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:
         return Q4Weight.from_packed(reader.packed_q4(name))
+    if ti.ggml_type == q.GGML_Q6_K and ti.nbytes > 10 << 20:
+        # big q6_k tensors (token_embd/output) dequantize on device
+        from ..ops.qtensor import dequant_q6k_device
+
+        return dequant_q6k_device(reader.tensor_bytes(name), ti.shape, dtype=dtype)
     return jnp.asarray(reader.tensor(name), dtype=dtype)
 
 
@@ -99,7 +104,7 @@ def load_decoder_gguf(
         ]
         layers[mine] = _stack(per_layer)
 
-    embed = jnp.asarray(reader.tensor("token_embd.weight"), dtype=dense_dtype)
+    embed = _load_tensor(reader, "token_embd.weight", keep_packed=False, dtype=dense_dtype)
     head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
     params = {
         "embed": embed,

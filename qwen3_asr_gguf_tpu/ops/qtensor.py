@@ -52,7 +52,7 @@ def dequant_q4(w: Q4Weight, dtype=jnp.bfloat16) -> jax.Array:
     n, k = w.shape
     low = (w.packed & 0x0F).astype(jnp.uint8)
     high = (w.packed >> 4).astype(jnp.uint8)
-    q = jnp.stack([low, high], axis=-1).reshape(n, k)  # byte j -> elems 2j, 2j+1
+    q = jnp.concatenate([low, high], axis=-1)  # planar: [first half | second half]
     group = k // w.scale.shape[1]
     qf = q.reshape(n, -1, group).astype(jnp.float32)
     dense = qf * w.scale[..., None] - w.minv[..., None]
@@ -79,6 +79,39 @@ def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+
+
+@jax.jit
+def _dequant_q6k_blocks(blocks: jax.Array) -> jax.Array:
+    """ggml Q6_K block dequant on device (blocks [nb, 210] uint8 -> f32 [nb, 256]).
+
+    Used at load time for the big q6_k tensors (token_embd/output in a
+    q4_k_m file): the vectorized host dequant of a 151k x 2048 table costs
+    ~40 s on one CPU core; on the accelerator it is milliseconds.
+    """
+    nb = blocks.shape[0]
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    sc = jax.lax.bitcast_convert_type(blocks[:, 192:208], jnp.int8).astype(jnp.float32)
+    d = jax.lax.bitcast_convert_type(
+        blocks[:, 208:210].reshape(nb, 1, 2), jnp.float16
+    ).astype(jnp.float32)  # [nb, 1]
+
+    qlg = ql.reshape(nb, 2, 1, 64)
+    lo = jnp.concatenate([qlg & 0x0F, qlg >> 4], axis=2).reshape(nb, 256)
+    qhg = qh.reshape(nb, 2, 1, 32)
+    hi = jnp.concatenate(
+        [(qhg >> s) & 0x03 for s in (0, 2, 4, 6)], axis=2
+    ).reshape(nb, 256)
+    q = (lo | (hi << 4)).astype(jnp.int32) - 32
+
+    w = (d * sc).reshape(nb, 16, 1) * q.reshape(nb, 16, 16).astype(jnp.float32)
+    return w.reshape(nb, 256)
+
+
+def dequant_q6k_device(blocks_u8: np.ndarray, shape: tuple[int, ...], dtype=jnp.bfloat16) -> jax.Array:
+    blocks = jnp.asarray(np.ascontiguousarray(blocks_u8).reshape(-1, 210))
+    return _dequant_q6k_blocks(blocks).reshape(shape).astype(dtype)
 
 
 def quantize_dense(w: np.ndarray | jax.Array, group: int = 32) -> Q4Weight:

@@ -1,0 +1,119 @@
+"""Device-mesh sharding rules.
+
+The reference has no distributed layer at all (SURVEY.md §2.6 — its only
+"distributed" axis is a helper process and three mp.Queues). Scaling here
+is the TPU-native design: a `jax.sharding.Mesh` with
+
+- ``data``  : data parallelism (batch axis),
+- ``model`` : tensor parallelism (attention heads / MLP columns),
+
+param/activation shardings annotated below, and XLA inserting the ICI
+collectives. Sequence-sharded activations (SP) are applied as constraints
+inside the train step where the tokens axis is large.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.configs import AudioEncoderConfig, TextDecoderConfig
+from ..ops.qtensor import Q4Weight
+
+
+def make_mesh(shape: Optional[dict[str, int]] = None, devices=None) -> Mesh:
+    """shape e.g. {"data": 2, "model": 4}; default: all devices on `model`."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = {"data": 1, "model": devices.size}
+    names = tuple(shape)
+    dims = tuple(shape[n] for n in names)
+    if int(np.prod(dims)) != devices.size:
+        raise ValueError(f"mesh {shape} wants {np.prod(dims)} devices, have {devices.size}")
+    return Mesh(devices.reshape(dims), names)
+
+
+# -- decoder param specs ---------------------------------------------------
+# Weights are [out, in] ([L, out, in] stacked); TP shards the out axis of
+# column-parallel projections and the in axis of row-parallel ones, so each
+# attention head / MLP column lives wholly on one device and o_proj/down_proj
+# contractions end in one psum over `model` (Megatron layout).
+
+_DEC_LAYER_SPECS = {
+    "attn_norm": P(),
+    "q_proj": P(None, "model", None),
+    "k_proj": P(None, "model", None),
+    "v_proj": P(None, "model", None),
+    "o_proj": P(None, None, "model"),
+    "q_norm": P(),
+    "k_norm": P(),
+    "mlp_norm": P(),
+    "gate_proj": P(None, "model", None),
+    "up_proj": P(None, "model", None),
+    "down_proj": P(None, None, "model"),
+}
+
+
+def _q4_spec(spec: P) -> Q4Weight:
+    """Q4Weight fields shard like the dense weight: packed/scale/minv all
+    follow [*, out, in_packed] with the same out/in split."""
+    return Q4Weight(packed=spec, scale=spec, minv=spec)  # type: ignore[arg-type]
+
+
+def decoder_param_specs(cfg: TextDecoderConfig, params: Any | None = None) -> dict:
+    layers = {}
+    for name, spec in _DEC_LAYER_SPECS.items():
+        if params is not None and isinstance(params["layers"][name], Q4Weight):
+            layers[name] = _q4_spec(spec)
+        else:
+            layers[name] = spec
+    return {
+        "embed": P(None, None),  # replicated: gathered on host & every step
+        "layers": layers,
+        "final_norm": P(),
+        "lm_head": P("model", None),  # vocab-sharded logits
+    }
+
+
+def encoder_param_specs(cfg: AudioEncoderConfig) -> dict:
+    return {
+        "conv1_w": P(), "conv1_b": P(),
+        "conv2_w": P(), "conv2_b": P(),
+        "conv3_w": P(), "conv3_b": P(),
+        "conv_out": P("model", None),
+        "pos_embed": P(),
+        "layers": {
+            "ln1_w": P(), "ln1_b": P(),
+            "q_w": P(None, "model", None), "q_b": P(None, "model"),
+            "k_w": P(None, "model", None), "k_b": P(None, "model"),
+            "v_w": P(None, "model", None), "v_b": P(None, "model"),
+            "o_w": P(None, None, "model"), "o_b": P(),
+            "ln2_w": P(), "ln2_b": P(),
+            "fc1_w": P(None, "model", None), "fc1_b": P(None, "model"),
+            "fc2_w": P(None, None, "model"), "fc2_b": P(),
+        },
+        "ln_post_w": P(), "ln_post_b": P(),
+        "proj1_w": P("model", None), "proj1_b": P("model"),
+        "proj2_w": P(None, "model"), "proj2_b": P(),
+    }
+
+
+def kv_cache_specs() -> dict:
+    # [L, S, H_kv, hd]: shard the kv heads across `model`
+    return {"k": P(None, None, "model", None), "v": P(None, None, "model", None)}
+
+
+def named(mesh: Mesh, tree_specs):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        tree_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
+    shardings = named(mesh, specs)
+    return jax.tree.map(jax.device_put, params, shardings)

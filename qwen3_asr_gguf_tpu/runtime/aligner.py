@@ -53,7 +53,6 @@ class QwenForcedAligner:
         )
         self.dec_cfg = dec_cfg
         self.tokenizer = tokenizer
-        self.embedding_table = np.asarray(dec_params["embed"], dtype=np.float32)
         self.runner = SparseLogitsRunner(dec_params, dec_cfg, n_ctx=config.n_ctx)
 
         self.ID_AUDIO_START = thinker.audio_start_token_id
@@ -73,7 +72,12 @@ class QwenForcedAligner:
             validate_language(language)
         t_start = time.time()
 
-        audio_embd, t_enc = self.encoder.encode(audio)
+        # embeddings stay on device; only their count is needed host-side
+        t_enc0 = time.time()
+        embd_padded = self.encoder.encode_async(audio)
+        n_audio = self.encoder.valid_tokens(int(audio.shape[-1]))
+        audio_embd = embd_padded[:n_audio]
+        t_enc = time.time() - t_enc0  # dispatch time; device overlaps decode build
 
         words = align_text.tokenize(text, language)
         if not words:
@@ -84,7 +88,7 @@ class QwenForcedAligner:
         pre_ids = [self.ID_AUDIO_START]
         post_ids = [self.ID_AUDIO_END]
         ts_positions: list[int] = []
-        prefix_len = len(pre_ids) + audio_embd.shape[0] + len(post_ids)
+        prefix_len = len(pre_ids) + n_audio + len(post_ids)
         post_len = 0
         for word in words:
             word_tokens = self.tokenizer.encode(word, allow_special=False)
@@ -95,16 +99,18 @@ class QwenForcedAligner:
                 post_ids.append(self.ID_TIMESTAMP)
                 post_len += 1
 
-        n_total = len(pre_ids) + audio_embd.shape[0] + len(post_ids)
-        full_embd = np.empty((n_total, self.dec_cfg.hidden_size), dtype=np.float32)
-        full_embd[: len(pre_ids)] = self.embedding_table[pre_ids]
-        full_embd[len(pre_ids) : len(pre_ids) + audio_embd.shape[0]] = audio_embd
-        full_embd[len(pre_ids) + audio_embd.shape[0] :] = self.embedding_table[post_ids]
+        n_total = len(pre_ids) + n_audio + len(post_ids)
+        ids = np.zeros(n_total, dtype=np.int32)
+        ids[: len(pre_ids)] = pre_ids
+        ids[len(pre_ids) + n_audio :] = post_ids
+        audio_mask = np.zeros(n_total, dtype=bool)
+        audio_mask[len(pre_ids) : len(pre_ids) + n_audio] = True
 
         t_dec0 = time.time()
-        logits = self.runner.logits_at(full_embd, np.asarray(ts_positions, dtype=np.int32))
-        limit = min(TIMESTAMP_CLASSES, logits.shape[-1])
-        raw_ts = np.argmax(logits[:, :limit], axis=-1)
+        limit = min(TIMESTAMP_CLASSES, self.dec_cfg.lm_head_dim)
+        raw_ts = self.runner.argmax_at(
+            ids, audio_mask, audio_embd, np.asarray(ts_positions, dtype=np.int32), limit
+        )
         t_dec = time.time() - t_dec0
 
         fixed = align_text.fix_timestamps(raw_ts)

@@ -31,6 +31,7 @@ from codecs import getincrementaldecoder
 from collections import deque
 from typing import List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..schema import (
@@ -89,7 +90,6 @@ class QwenASREngine:
         )
         self.dec_cfg = dec_cfg
         self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
-        self.embedding_table = np.asarray(dec_params["embed"], dtype=np.float32)
         self.generator = Generator(
             dec_params, dec_cfg,
             n_ctx=config.n_ctx,
@@ -116,14 +116,17 @@ class QwenASREngine:
 
     # -- prompt ------------------------------------------------------------
 
-    def _build_prompt_embd(
+    def _build_prompt_ids(
         self,
-        audio_embd: np.ndarray,
+        n_audio: int,
         prefix_text: str,
         context: Optional[str],
         language: Optional[str],
-    ) -> np.ndarray:
-        """Assemble the chat-protocol embedding sequence (asr.py:80-104)."""
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Assemble the chat-protocol prompt (reference asr.py:80-104) as
+        (token_ids, audio_mask). The audio span carries placeholder ids; the
+        actual embeddings are spliced ON DEVICE (Generator.start_spliced) —
+        the host never materializes embedding rows."""
         tk = self.model.tokenize
         prefix_str = f"system\n{context or 'You are a helpful assistant.'}"
         prefix_tokens = (
@@ -138,21 +141,22 @@ class QwenASREngine:
             + tk(suffix_head) + [self.ID_ASR_TEXT] + tk(prefix_text)
         )
 
-        n_pre, n_aud = len(prefix_tokens), audio_embd.shape[0]
-        total = np.empty(
-            (n_pre + n_aud + len(suffix_tokens), self.dec_cfg.hidden_size), dtype=np.float32
-        )
-        total[:n_pre] = self.embedding_table[prefix_tokens]
-        total[n_pre : n_pre + n_aud] = audio_embd
-        total[n_pre + n_aud :] = self.embedding_table[suffix_tokens]
-        return total
+        n_pre = len(prefix_tokens)
+        total = n_pre + n_audio + len(suffix_tokens)
+        ids = np.zeros(total, dtype=np.int32)
+        ids[:n_pre] = prefix_tokens
+        ids[n_pre + n_audio :] = suffix_tokens
+        audio_mask = np.zeros(total, dtype=bool)
+        audio_mask[n_pre : n_pre + n_audio] = True
+        return ids, audio_mask
 
     # -- decode ------------------------------------------------------------
 
     def _decode(
         self,
-        full_embd: np.ndarray,
-        prefix_text: str,
+        ids: np.ndarray,
+        audio_mask: np.ndarray,
+        audio_embd,  # [Ta, D] device array
         rollback_num: int,
         is_last_chunk: bool = False,
         temperature: float = 0.4,
@@ -160,10 +164,12 @@ class QwenASREngine:
         """One chunk generation with rollback + circuit breaker
         (reference asr.py:106-191)."""
         result = DecodeResult()
-        result.n_prefill = full_embd.shape[0]
+        result.n_prefill = int(ids.shape[0])
 
         t0 = time.time()
-        state = self.generator.start(full_embd, temperature=temperature)
+        state = self.generator.start_spliced(
+            ids, audio_mask, audio_embd, temperature=temperature
+        )
         result.t_prefill = time.time() - t0
 
         t1 = time.time()
@@ -215,8 +221,9 @@ class QwenASREngine:
 
     def _safe_decode(
         self,
-        full_embd: np.ndarray,
-        prefix_text: str,
+        ids: np.ndarray,
+        audio_mask: np.ndarray,
+        audio_embd,
         rollback_num: int,
         is_last_chunk: bool,
         temperature: float,
@@ -224,7 +231,7 @@ class QwenASREngine:
         """Circuit-breaker retry with temperature escalation (asr.py:193-209)."""
         res = DecodeResult()
         for _ in range(4):
-            res = self._decode(full_embd, prefix_text, rollback_num, is_last_chunk, temperature)
+            res = self._decode(ids, audio_mask, audio_embd, rollback_num, is_last_chunk, temperature)
             if not res.is_aborted:
                 break
             temperature += 0.3
@@ -328,10 +335,10 @@ class QwenASREngine:
                 pending[idx] = self.encoder.encode_async(chunk_audio(idx))
                 stats["encode_time"] += time.time() - t0  # dispatch cost only
 
-        def wait_enc(idx: int) -> np.ndarray:
+        def wait_enc(idx: int):
+            """Device array [valid_tokens, D] — embeddings stay on device."""
             fut = pending.pop(idx)
-            embd = np.asarray(fut, dtype=np.float32)
-            return embd[: self.encoder.valid_tokens(samples_per_chunk)]
+            return fut[: self.encoder.valid_tokens(samples_per_chunk)]
 
         def run_align(idx: int) -> None:
             """Align segment idx (reference send_align offset logic,
@@ -374,11 +381,17 @@ class QwenASREngine:
                 run_align(i - 1)
 
             prefix_text = "".join(m[1] for m in memory)
-            combined = np.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
-            full_embd = self._build_prompt_embd(combined, prefix_text, context, language)
+            combined = (
+                jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
+                if memory
+                else audio_feature
+            )
+            ids, audio_mask = self._build_prompt_ids(
+                int(combined.shape[0]), prefix_text, context, language
+            )
 
             res = self._safe_decode(
-                full_embd, prefix_text, rollback_num, i == num_chunks - 1, temperature
+                ids, audio_mask, combined, rollback_num, i == num_chunks - 1, temperature
             )
 
             segments[i].text = res.text

@@ -67,6 +67,7 @@ class Generator:
         self.bucket = bucket
         self.block = block
         self._prefill_jit = self._build_prefill()
+        self._spliced_prefill_jit = self._build_spliced_prefill()
         self._block_jit = self._build_block()
 
     # -- jitted programs ---------------------------------------------------
@@ -76,6 +77,31 @@ class Generator:
 
         @partial(jax.jit, static_argnames=("greedy",), donate_argnames=("cache",))
         def prefill(params, embd, length, cache, key, temperature, greedy: bool):
+            hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
+            last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
+            logits = dec.lm_logits(params, last_hidden)
+            if greedy:
+                tok = sample_greedy(logits)
+            else:
+                key, sub = jax.random.split(key)
+                tok = sample_topk_topp(logits, sub, temperature)
+            return cache, tok.astype(jnp.int32), key
+
+        return prefill
+
+    def _build_spliced_prefill(self) -> Callable:
+        """Prefill that assembles the prompt ON DEVICE from token ids plus a
+        spliced audio-embedding stream — the host never touches embedding
+        rows (device->host bandwidth is the scarce resource; also mirrors
+        the official masked_scatter merge, modeling_qwen3_asr.py:1194-1203)."""
+        cfg = self.cfg
+
+        @partial(jax.jit, static_argnames=("greedy",), donate_argnames=("cache",))
+        def prefill(params, ids, audio_mask, audio_embd, length, cache, key, temperature, greedy: bool):
+            text_embd = dec.embed_tokens(params, ids)
+            apos = jnp.cumsum(audio_mask.astype(jnp.int32)) - 1
+            gathered = jnp.take(audio_embd, jnp.clip(apos, 0, audio_embd.shape[0] - 1), axis=0)
+            embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
             logits = dec.lm_logits(params, last_hidden)
@@ -113,7 +139,9 @@ class Generator:
             (cache, pos, tok, key, done), emitted = jax.lax.scan(
                 step, (cache, pos0, tok0, key, done0), None, length=block
             )
-            return cache, pos, tok, key, done, emitted
+            # pack [emitted..., done] so the host fetches ONE tiny array
+            packed = jnp.concatenate([emitted, done.astype(jnp.int32)[None]])
+            return cache, pos, tok, key, done, packed
 
         return decode_block
 
@@ -157,6 +185,47 @@ class Generator:
         done = jnp.any(tok == self.eos_ids)
         return GenState(cache=cache, pos=t, last_token=tok, key=key, done=done)
 
+    def start_spliced(
+        self,
+        ids: np.ndarray,  # [T] int32 prompt ids (0 at audio slots)
+        audio_mask: np.ndarray,  # [T] bool, True where audio embeddings go
+        audio_embd: jax.Array,  # [Ta, D] device array (encoder output)
+        *,
+        length: int | None = None,  # valid prompt length (<= T)
+        temperature: float = 0.4,
+        seed: int | None = None,
+        cache=None,
+    ) -> GenState:
+        """Device-side prompt assembly + prefill: the audio embeddings never
+        leave the device (device->host is the scarce path on TPU pods and
+        especially through remote runtimes)."""
+        t = int(ids.shape[0]) if length is None else int(length)
+        if t > self.n_ctx:
+            raise ValueError(f"prompt of {t} tokens exceeds n_ctx={self.n_ctx}")
+        padded_len = min(round_up(max(t, 1), self.bucket), self.n_ctx)
+        ids_p = np.zeros(padded_len, dtype=np.int32)
+        mask_p = np.zeros(padded_len, dtype=bool)
+        ids_p[: len(ids)] = ids[:padded_len]
+        mask_p[: len(audio_mask)] = audio_mask[:padded_len]
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.key(seed)
+        cache = cache if cache is not None else self.new_cache()
+        greedy = temperature <= 0.0
+        cache, tok, key = self._spliced_prefill_jit(
+            self.params,
+            jnp.asarray(ids_p),
+            jnp.asarray(mask_p),
+            audio_embd,
+            jnp.int32(t),
+            cache,
+            key,
+            jnp.float32(max(temperature, 1e-6)),
+            greedy,
+        )
+        done = jnp.any(tok == self.eos_ids)
+        return GenState(cache=cache, pos=t, last_token=tok, key=key, done=done)
+
     def decode_block(self, state: GenState, temperature: float = 0.4) -> tuple[list[int], GenState, bool]:
         """Run up to `block` steps; returns (emitted_tokens, state, finished).
 
@@ -166,7 +235,7 @@ class Generator:
         greedy = temperature <= 0.0
         if state.pos + self.block > self.n_ctx:
             return [], state, True  # context full
-        cache, pos, tok, key, done, emitted = self._block_jit(
+        cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
             state.cache,
             jnp.int32(state.pos),
@@ -176,10 +245,12 @@ class Generator:
             state.done,
             greedy,
         )
-        emitted = np.asarray(emitted)
-        toks = [int(t) for t in emitted if t >= 0]
-        finished = bool(np.asarray(done))
-        new_state = GenState(cache=cache, pos=int(pos), last_token=tok, key=key, done=done)
+        packed = np.asarray(packed)  # ONE device->host fetch per block
+        toks = [int(t) for t in packed[:-1] if t >= 0]
+        finished = bool(packed[-1])
+        new_state = GenState(
+            cache=cache, pos=state.pos + self.block, last_token=tok, key=key, done=done
+        )
         return toks, new_state, finished
 
 
@@ -199,14 +270,31 @@ class SparseLogitsRunner:
         self.cache_dtype = cache_dtype
         self.bucket = bucket
 
-        @partial(jax.jit, static_argnames=("n_positions",))
-        def run(params, embd, length, positions, n_positions: int):
-            cache = dec.init_cache(cfg, embd.shape[0], dtype=cache_dtype)
-            hidden, _ = dec.forward_prefill(params, cfg, embd, cache, length=length)
+        @jax.jit
+        def run(params, embd, length, positions):
+            hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
             sel = jnp.take(hidden, positions, axis=0)  # [n_positions, D]
             return dec.lm_logits(params, sel)
 
+        @partial(jax.jit, static_argnames=("limit",))
+        def run_argmax(params, ids, audio_mask, audio_embd, length, positions, limit: int):
+            text_embd = dec.embed_tokens(params, ids)
+            apos = jnp.cumsum(audio_mask.astype(jnp.int32)) - 1
+            gathered = jnp.take(audio_embd, jnp.clip(apos, 0, audio_embd.shape[0] - 1), axis=0)
+            embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
+            hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
+            sel = jnp.take(hidden, positions, axis=0)
+            logits = dec.lm_logits(params, sel)
+            return jnp.argmax(logits[:, :limit], axis=-1).astype(jnp.int32)
+
         self._run = run
+        self._run_argmax = run_argmax
+
+    def _pad_positions(self, positions: np.ndarray) -> np.ndarray:
+        n_pos = round_up(max(len(positions), 1), 64)
+        pos_padded = np.zeros(n_pos, dtype=np.int32)
+        pos_padded[: len(positions)] = positions
+        return pos_padded
 
     def logits_at(self, embd: np.ndarray, positions: np.ndarray) -> np.ndarray:
         t = embd.shape[0]
@@ -214,8 +302,31 @@ class SparseLogitsRunner:
         pad = padded_len - t
         if pad:
             embd = np.concatenate([embd, np.zeros((pad, embd.shape[1]), embd.dtype)], axis=0)
-        n_pos = round_up(max(len(positions), 1), 64)
-        pos_padded = np.zeros(n_pos, dtype=np.int32)
-        pos_padded[: len(positions)] = positions
-        out = self._run(self.params, jnp.asarray(embd), jnp.int32(t), jnp.asarray(pos_padded), n_pos)
+        pos_padded = self._pad_positions(positions)
+        out = self._run(self.params, jnp.asarray(embd), jnp.int32(t), jnp.asarray(pos_padded))
+        return np.asarray(out)[: len(positions)]
+
+    def argmax_at(
+        self,
+        ids: np.ndarray,
+        audio_mask: np.ndarray,
+        audio_embd: jax.Array,
+        positions: np.ndarray,
+        limit: int,
+    ) -> np.ndarray:
+        """Device-side prompt splice + prefill + restricted argmax; only the
+        class indices cross back to the host (the reference reads full
+        logits per position, aligner.py:317-323 — on TPU that transfer is
+        the bottleneck, the argmax is free)."""
+        t = len(ids)
+        padded_len = round_up(t, self.bucket)
+        ids_p = np.zeros(padded_len, dtype=np.int32)
+        ids_p[:t] = ids
+        mask_p = np.zeros(padded_len, dtype=bool)
+        mask_p[:t] = audio_mask
+        pos_padded = self._pad_positions(positions)
+        out = self._run_argmax(
+            self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), audio_embd,
+            jnp.int32(t), jnp.asarray(pos_padded), limit,
+        )
         return np.asarray(out)[: len(positions)]

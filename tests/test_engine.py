@@ -76,17 +76,20 @@ def test_transcribe_wav_file(engine, tmp_path):
     assert isinstance(res.text, str)
 
 
-def test_prompt_embd_layout(engine):
-    audio_embd = np.zeros((4, engine.dec_cfg.hidden_size), np.float32)
-    embd = engine._build_prompt_embd(audio_embd, "prefix", "sys ctx", "English")
+def test_prompt_ids_layout(engine):
+    ids, audio_mask = engine._build_prompt_ids(4, "prefix", "sys ctx", "English")
     tk = engine.model.tokenize
     n_pre = 1 + len(tk("system\nsys ctx")) + 1 + 1 + len(tk("user\n")) + 1
-    # audio block sits exactly between prefix and suffix
-    np.testing.assert_array_equal(embd[n_pre : n_pre + 4], audio_embd)
-    # first token is <|im_start|>
-    np.testing.assert_array_equal(
-        embd[0], engine.embedding_table[engine.ID_IM_START]
-    )
+    # audio span sits exactly between prefix and suffix
+    assert audio_mask[n_pre : n_pre + 4].all()
+    assert audio_mask.sum() == 4
+    assert ids[0] == engine.ID_IM_START
+    assert ids[n_pre - 1] == engine.ID_AUDIO_START
+    assert ids[n_pre + 4] == engine.ID_AUDIO_END
+    # suffix ends with the prefix text tokens after <asr_text>
+    suffix = list(ids[n_pre + 4 :])
+    asr_pos = suffix.index(engine.ID_ASR_TEXT)
+    assert suffix[asr_pos + 1 :] == tk("prefix")
 
 
 def test_invalid_language_rejected(engine):
