@@ -107,6 +107,10 @@ def quantize_q8_0(x: np.ndarray) -> np.ndarray:
 
 
 def dequantize_q8_0(data: np.ndarray, out_shape: tuple[int, ...]) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.dequant_q8_0(np.asarray(data).view(np.uint8), out_shape)
     blocks = data.reshape(-1, 34)
     d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
     q = blocks[:, 2:].view(np.int8).astype(np.float32)
@@ -156,6 +160,10 @@ def quantize_q4_k(x: np.ndarray) -> np.ndarray:
     weighted search; this variant is format-identical and within ~1e-2
     relative RMSE of it).
     """
+    from .. import native
+
+    if x.shape[-1] % QK_K == 0 and native.available():
+        return native.quantize_q4k(np.asarray(x, dtype=np.float32))
     rows = x.reshape(-1, x.shape[-1]).astype(np.float32)
     n, k = rows.shape
     assert k % QK_K == 0, f"row size {k} not divisible by {QK_K}"
@@ -203,6 +211,10 @@ def quantize_q4_k(x: np.ndarray) -> np.ndarray:
 
 
 def dequantize_q4_k(data: np.ndarray, out_shape: tuple[int, ...]) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.dequant_q4k(np.asarray(data).view(np.uint8), out_shape)
     blocks = np.ascontiguousarray(data.reshape(-1, 144))
     nb = blocks.shape[0]
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)  # [nb,1]
@@ -263,6 +275,10 @@ def quantize_q6_k(x: np.ndarray) -> np.ndarray:
 
 
 def dequantize_q6_k(data: np.ndarray, out_shape: tuple[int, ...]) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.dequant_q6k(np.asarray(data).view(np.uint8), out_shape)
     blocks = np.ascontiguousarray(data.reshape(-1, 210))
     nb = blocks.shape[0]
     ql = blocks[:, 0:128]
@@ -359,6 +375,11 @@ class PackedQ4:
 def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
     """Repack ggml Q4_K superblocks into dense TPU planes (no dequant loss)."""
     n, k = shape
+    from .. import native
+
+    if native.available() and k <= native.MAX_NATIVE_K:
+        packed, scale, minv = native.repack_q4k(np.asarray(q4k_bytes).view(np.uint8), n, k)
+        return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
     blocks = np.ascontiguousarray(q4k_bytes.reshape(-1, 144))
     nb = blocks.shape[0]
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
@@ -387,6 +408,11 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
     MatMulNBits block 128 — here group defaults to 32 to match q4_k).
     """
     n, k = w.shape
+    from .. import native
+
+    if group == 32 and k % 64 == 0 and native.available() and k <= native.MAX_NATIVE_K:
+        packed, scale, minv = native.pack_q4_direct(np.asarray(w, dtype=np.float32))
+        return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
     assert k % group == 0
     g = w.reshape(n, k // group, group).astype(np.float32)
     gmin = np.minimum(g.min(axis=-1), 0.0)

@@ -1,0 +1,126 @@
+"""Streaming ASR state machine.
+
+Reproduces the official streaming recipe (reference
+qwen_asr/inference/qwen3_asr.py:584-830 and tech report: 2 s chunks,
+5-token rollback, first 4 chunks unprefixed):
+
+- microphone PCM accumulates in a buffer; every full `chunk_size` seconds
+  the WHOLE accumulated audio is re-fed through the encoder;
+- the decode prompt is prefixed with the previous transcript rolled back by
+  `unfixed_token_num` tokens (U+FFFD-safe), except during the first
+  `unfixed_chunk_num` chunks which decode from scratch;
+- `finish()` flushes the remaining tail without padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+SAMPLE_RATE = 16_000
+
+
+@dataclasses.dataclass
+class StreamingState:
+    buffer: np.ndarray
+    accum: np.ndarray
+    text: str = ""
+    fixed_prefix: str = ""
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    language: str = ""
+    chunks_seen: int = 0
+    finished: bool = False
+
+
+class StreamingTranscriber:
+    def __init__(
+        self,
+        engine,
+        *,
+        chunk_size_sec: float = 2.0,
+        unfixed_chunk_num: int = 4,
+        unfixed_token_num: int = 5,
+        context: str = "",
+        language: Optional[str] = None,
+        temperature: float = 0.0,
+        max_audio_sec: float = 1200.0,
+    ):
+        self.engine = engine
+        self.chunk_samples = int(chunk_size_sec * SAMPLE_RATE)
+        self.unfixed_chunk_num = unfixed_chunk_num
+        self.unfixed_token_num = unfixed_token_num
+        self.context = context
+        self.language = language
+        self.temperature = temperature
+        self.max_samples = int(max_audio_sec * SAMPLE_RATE)
+
+    def init_state(self) -> StreamingState:
+        """reference init_streaming_state (qwen3_asr.py:584-655)."""
+        return StreamingState(
+            buffer=np.zeros(0, np.float32), accum=np.zeros(0, np.float32)
+        )
+
+    # -- internals -----------------------------------------------------------
+
+    def _prefix_text(self, state: StreamingState) -> str:
+        """Rolled-back decode prefix (reference :731-747)."""
+        if state.chunks_seen < self.unfixed_chunk_num:
+            return ""
+        toks = state.tokens[: -self.unfixed_token_num] if self.unfixed_token_num else state.tokens
+        if not toks:
+            return ""
+        text = self.engine.model.decode(toks)
+        # U+FFFD guard: drop a trailing partial multibyte sequence
+        return text.rstrip("�")
+
+    def _decode_accum(self, state: StreamingState) -> None:
+        if state.accum.size < self.chunk_samples // 4:
+            return
+        prefix = self._prefix_text(state)
+        embd_padded = self.engine.encoder.encode_async(state.accum)
+        n_audio = self.engine.encoder.valid_tokens(int(state.accum.shape[-1]))
+        ids, mask = self.engine._build_prompt_ids(
+            n_audio, prefix, self.context, self.language
+        )
+        res = self.engine._safe_decode(
+            ids, mask, embd_padded[:n_audio],
+            rollback_num=0, is_last_chunk=True, temperature=self.temperature,
+        )
+        prefix_tokens = self.engine.model.encode(prefix) if prefix else []
+        state.tokens = prefix_tokens + res.stable_tokens
+        state.fixed_prefix = prefix
+        state.text = prefix + res.text
+
+    # -- public API ----------------------------------------------------------
+
+    def feed(self, state: StreamingState, pcm: np.ndarray) -> StreamingState:
+        """Append PCM; decode once per completed chunk (reference
+        streaming_transcribe :657-765). Returns the updated state (in place)."""
+        if state.finished:
+            raise RuntimeError("stream already finished")
+        state.buffer = np.concatenate([state.buffer, np.asarray(pcm, np.float32).reshape(-1)])
+        while state.buffer.size >= self.chunk_samples:
+            chunk, state.buffer = (
+                state.buffer[: self.chunk_samples],
+                state.buffer[self.chunk_samples :],
+            )
+            state.accum = np.concatenate([state.accum, chunk])
+            if state.accum.size > self.max_samples:
+                state.accum = state.accum[-self.max_samples :]
+            state.chunks_seen += 1
+            self._decode_accum(state)
+        return state
+
+    def finish(self, state: StreamingState) -> str:
+        """Flush the un-chunked tail (reference finish_streaming_transcribe
+        :767-830) and return the final transcript."""
+        if not state.finished:
+            if state.buffer.size:
+                state.accum = np.concatenate([state.accum, state.buffer])
+                state.buffer = np.zeros(0, np.float32)
+                state.chunks_seen += 1
+                self._decode_accum(state)
+            state.finished = True
+        return state.text

@@ -1,0 +1,78 @@
+"""Streaming transcriber tests (tiny synthetic checkpoint)."""
+
+import numpy as np
+import pytest
+
+from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+from qwen3_asr_gguf_tpu.runtime.streaming import StreamingTranscriber
+from qwen3_asr_gguf_tpu.schema import ASREngineConfig
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_ckpt")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16")
+    return QwenASREngine(ASREngineConfig(
+        model_dir=str(d), llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=8, decode_block=8,
+    ))
+
+
+def _audio(seconds, freq=440.0):
+    t = np.arange(int(16000 * seconds)) / 16000
+    return (np.sin(2 * np.pi * freq * t) * 0.3).astype(np.float32)
+
+
+def test_stream_chunking(engine):
+    st = StreamingTranscriber(engine, chunk_size_sec=1.0, unfixed_chunk_num=1,
+                              unfixed_token_num=2, language="English")
+    state = st.init_state()
+    # feed 0.6s pieces: chunk boundary crossed on the 2nd feed
+    st.feed(state, _audio(0.6))
+    assert state.chunks_seen == 0
+    st.feed(state, _audio(0.6))
+    assert state.chunks_seen == 1
+    assert isinstance(state.text, str)
+    text_after_1 = state.text
+    st.feed(state, _audio(1.0))
+    assert state.chunks_seen == 2
+    final = st.finish(state)
+    assert isinstance(final, str)
+    assert state.finished
+    with pytest.raises(RuntimeError):
+        st.feed(state, _audio(0.1))
+
+
+def test_stream_prefix_rollback(engine):
+    st = StreamingTranscriber(engine, chunk_size_sec=1.0, unfixed_chunk_num=1,
+                              unfixed_token_num=2, language="English")
+    state = st.init_state()
+    st.feed(state, _audio(1.0))
+    toks_round1 = list(state.tokens)
+    # second chunk: prefix must be round1 tokens minus the last 2
+    prefix = st._prefix_text(state)
+    if len(toks_round1) > 2:
+        expect = engine.model.decode(toks_round1[:-2]).rstrip("�")
+        assert prefix == expect
+    else:
+        assert prefix == ""
+
+
+def test_stream_first_chunks_unprefixed(engine):
+    st = StreamingTranscriber(engine, chunk_size_sec=1.0, unfixed_chunk_num=3,
+                              unfixed_token_num=2, language="English")
+    state = st.init_state()
+    st.feed(state, _audio(1.0))
+    st.feed(state, _audio(1.0))
+    assert state.chunks_seen == 2
+    assert st._prefix_text(state) == ""  # still inside unfixed window
+
+
+def test_finish_flushes_tail(engine):
+    st = StreamingTranscriber(engine, chunk_size_sec=2.0, language="English")
+    state = st.init_state()
+    st.feed(state, _audio(0.7))  # below one chunk
+    assert state.chunks_seen == 0
+    st.finish(state)
+    assert state.chunks_seen == 1  # tail decoded without padding
