@@ -125,9 +125,19 @@ def init_cache(cfg: TextDecoderConfig, max_len: int, dtype=jnp.bfloat16) -> dict
 def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, sin):
     t = x_normed.shape[0]
     hd = cfg.head_dim
-    q = matmul(x_normed, layer["q_proj"]).reshape(t, cfg.num_heads, hd)
-    k = matmul(x_normed, layer["k_proj"]).reshape(t, cfg.num_kv_heads, hd)
-    v = matmul(x_normed, layer["v_proj"]).reshape(t, cfg.num_kv_heads, hd)
+    nq = cfg.num_heads * hd
+    nkv = cfg.num_kv_heads * hd
+    if "qkv_proj" in layer:
+        # fused column-concat [Wq; Wk; Wv]: one weight stream per layer
+        # instead of three (decode is HBM/launch bound)
+        qkv = matmul(x_normed, layer["qkv_proj"])
+        q = qkv[:, :nq].reshape(t, cfg.num_heads, hd)
+        k = qkv[:, nq : nq + nkv].reshape(t, cfg.num_kv_heads, hd)
+        v = qkv[:, nq + nkv :].reshape(t, cfg.num_kv_heads, hd)
+    else:
+        q = matmul(x_normed, layer["q_proj"]).reshape(t, cfg.num_heads, hd)
+        k = matmul(x_normed, layer["k_proj"]).reshape(t, cfg.num_kv_heads, hd)
+        v = matmul(x_normed, layer["v_proj"]).reshape(t, cfg.num_kv_heads, hd)
     q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -136,8 +146,13 @@ def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, 
 
 
 def _mlp(layer: Params, x_normed: jax.Array) -> jax.Array:
-    gate = matmul(x_normed, layer["gate_proj"])
-    up = matmul(x_normed, layer["up_proj"])
+    if "gateup_proj" in layer:
+        m = layer["gateup_proj"].shape[0] // 2  # [2M, D] (dense or packed)
+        gu = matmul(x_normed, layer["gateup_proj"])
+        gate, up = gu[:, :m], gu[:, m:]
+    else:
+        gate = matmul(x_normed, layer["gate_proj"])
+        up = matmul(x_normed, layer["up_proj"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x_normed.dtype) * up
     return matmul(act, layer["down_proj"])
 

@@ -177,6 +177,32 @@ def save_decoder_gguf(
     w.write()
 
 
+def fuse_layer_weights(params: dict) -> dict:
+    """Fuse per-layer [q|k|v] and [gate|up] projections into single weights.
+
+    Column-parallel concat along the output dim: one HBM stream + one kernel
+    launch where there were three/two. Works for dense stacked [L, N, K]
+    arrays and stacked Q4Weight (planar packing concatenates row-wise, so
+    the packed planes concat the same way).
+    """
+
+    def cat(ws):
+        if isinstance(ws[0], Q4Weight):
+            return Q4Weight(
+                packed=jnp.concatenate([w.packed for w in ws], axis=-2),
+                scale=jnp.concatenate([w.scale for w in ws], axis=-2),
+                minv=jnp.concatenate([w.minv for w in ws], axis=-2),
+            )
+        return jnp.concatenate(ws, axis=-2)
+
+    layers = dict(params["layers"])
+    if "q_proj" in layers:
+        layers["qkv_proj"] = cat([layers.pop("q_proj"), layers.pop("k_proj"), layers.pop("v_proj")])
+    if "gate_proj" in layers:
+        layers["gateup_proj"] = cat([layers.pop("gate_proj"), layers.pop("up_proj")])
+    return dict(params, layers=layers)
+
+
 # --------------------------------------------------------------------------
 # encoder safetensors
 # --------------------------------------------------------------------------

@@ -53,6 +53,7 @@ class QwenForcedAligner:
         )
         self.dec_cfg = dec_cfg
         self.tokenizer = tokenizer
+        dec_params = P.fuse_layer_weights(dec_params)
         self.runner = SparseLogitsRunner(dec_params, dec_cfg, n_ctx=config.n_ctx)
 
         self.ID_AUDIO_START = thinker.audio_start_token_id

@@ -88,6 +88,7 @@ class QwenASREngine:
             os.path.join(model_dir, config.llm_fn),
             precision="q4_k" if config.precision in ("q4_k", "int4") else config.precision,
         )
+        dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
         self.dec_cfg = dec_cfg
         self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
         self.generator = Generator(
