@@ -57,6 +57,24 @@ def setup_logging(log_dir: str | None = None, level: int = logging.INFO) -> logg
 
 logger = setup_logging()
 
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (compiles of the big decode/prefill
+    programs cost minutes through a remote compile service; cache them
+    across processes). Called by the engine/bench; safe to call repeatedly."""
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "QWEN3_ASR_TPU_COMPILE_CACHE", str(Path.home() / ".cache" / "qwen3_asr_tpu_xla")
+    )
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        logger.warning("could not enable persistent compilation cache", exc_info=True)
+
 # Re-exports (lazy-friendly: keep heavy jax imports out of package import).
 from .schema import (  # noqa: E402
     ASREngineConfig,

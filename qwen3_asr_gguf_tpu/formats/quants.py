@@ -348,18 +348,45 @@ def byte_width(ggml_type: int, row_elems: int) -> int:
 # --------------------------------------------------------------------------
 
 
+GROUP_Q4 = 32
+
+
+def rank_major_perm(k_half: int) -> np.ndarray:
+    """Column permutation applied per K-half at pack time.
+
+    Natural order: element e = g*32 + rank (g = quant group, G groups per
+    half). Rank-major order: position p = rank*G + g. Then the per-column
+    scale pattern is [s0..s_{G-1}] tiled 32x — exactly what `pltpu.repeat`
+    produces — so the Pallas kernel expands group scales with one cheap VPU
+    repeat instead of one-hot matmuls. Returns perm with
+    perm[p] = source element index of position p.
+    """
+    g = k_half // GROUP_Q4
+    p = np.arange(k_half)
+    return (p % g) * GROUP_Q4 + p // g
+
+
+def rank_major_inverse(k_half: int) -> np.ndarray:
+    """inv[e] = packed position of natural element e."""
+    g = k_half // GROUP_Q4
+    e = np.arange(k_half)
+    return (e % GROUP_Q4) * g + e // GROUP_Q4
+
+
 @dataclass
 class PackedQ4:
-    """TPU-friendly weight-only int4 layout (planar nibbles).
+    """TPU-friendly weight-only int4 layout (planar nibbles, rank-major).
 
-    packed : uint8 [N, K//2]  — byte j of a row holds value j in its LOW
-             nibble and value j + K//2 in its HIGH nibble, so the kernel
-             unpack is `concat([b & 0xF, b >> 4], axis=-1)` — no lane
-             interleaving.
-    scale  : f32 [N, K//32]   — effective per-32-group scale (d * sc)
+    packed : uint8 [N, K//2]  — byte j of a row holds PERMUTED value j in
+             its LOW nibble and permuted value j + K//2 in its HIGH nibble.
+             Within each K-half, columns are rank-major permuted
+             (see `rank_major_perm`): position p holds natural element
+             (p % G)*32 + p//G  where G = K//64 groups per half.
+    scale  : f32 [N, K//32]   — effective per-32-group scale (d * sc),
+             NATURAL group order (first half's groups then second half's)
     minv   : f32 [N, K//32]   — effective per-32-group offset (dmin * m)
 
-    Dequant: w[n, j] = q * scale[n, j//32] - minv[n, j//32].
+    Dequant of position p in half h: q * scale[n, h*G + p%G] - minv[...].
     """
 
     packed: np.ndarray
@@ -375,11 +402,12 @@ class PackedQ4:
 def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
     """Repack ggml Q4_K superblocks into dense TPU planes (no dequant loss)."""
     n, k = shape
+    perm = rank_major_perm(k // 2)
     from .. import native
 
     if native.available() and k <= native.MAX_NATIVE_K:
         packed, scale, minv = native.repack_q4k(np.asarray(q4k_bytes).view(np.uint8), n, k)
-        return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
+        return PackedQ4(packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k))
     blocks = np.ascontiguousarray(q4k_bytes.reshape(-1, 144))
     nb = blocks.shape[0]
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
@@ -397,7 +425,7 @@ def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
 
     half = k // 2
     packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
-    return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
+    return PackedQ4(packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k))
 
 
 def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
@@ -408,10 +436,13 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
     MatMulNBits block 128 — here group defaults to 32 to match q4_k).
     """
     n, k = w.shape
+    perm = rank_major_perm(k // 2) if group == GROUP_Q4 and (k // 2) % GROUP_Q4 == 0 else None
     from .. import native
 
     if group == 32 and k % 64 == 0 and native.available() and k <= native.MAX_NATIVE_K:
         packed, scale, minv = native.pack_q4_direct(np.asarray(w, dtype=np.float32))
+        if perm is not None:
+            packed = packed[:, perm]
         return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
     assert k % group == 0
     g = w.reshape(n, k // group, group).astype(np.float32)
@@ -423,13 +454,25 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
     q = q.reshape(n, k)
     half = k // 2
     packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
+    if perm is not None:
+        packed = packed[:, perm]
     return PackedQ4(packed=packed, scale=scale, minv=-gmin, shape=(n, k))
+
+
+def is_rank_major(p: PackedQ4) -> bool:
+    """True when the packed columns carry the rank-major permutation
+    (always the case for GROUP_Q4-grouped weights on the kernel grid)."""
+    n, k = p.shape
+    return k // p.scale.shape[1] == GROUP_Q4 and (k // 2) % GROUP_Q4 == 0
 
 
 def unpack_q4(p: PackedQ4) -> np.ndarray:
     """Reference dequant of PackedQ4 (oracle for the Pallas kernel)."""
     n, k = p.shape
-    q = np.concatenate([p.packed & 0x0F, p.packed >> 4], axis=-1)
+    packed = p.packed
+    if is_rank_major(p):
+        packed = packed[:, rank_major_inverse(k // 2)]
+    q = np.concatenate([packed & 0x0F, packed >> 4], axis=-1)
     group = k // p.scale.shape[1]
     qf = q.reshape(n, -1, group).astype(np.float32)
     w = qf * p.scale[..., None] - p.minv[..., None]

@@ -237,9 +237,16 @@ def forward_step(
     return hidden[0], {"k": ks, "v": vs}
 
 
-def lm_logits(params: Params, hidden: jax.Array) -> jax.Array:
-    """hidden [..., D] -> logits [..., V] (f32)."""
-    return matmul(hidden, params["lm_head"]).astype(jnp.float32)
+def lm_logits(params: Params, hidden: jax.Array, n_out: int | None = None) -> jax.Array:
+    """hidden [..., D] -> logits [..., V] (f32).
+
+    `n_out` slices away tile-padding rows when the head is packed int4
+    (padded to 256-row tiles at load; padded logits would otherwise win an
+    argmax over all-negative rows since their value is exactly 0)."""
+    out = matmul(hidden, params["lm_head"]).astype(jnp.float32)
+    if n_out is not None and out.shape[-1] != n_out:
+        out = out[..., :n_out]
+    return out
 
 
 def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:

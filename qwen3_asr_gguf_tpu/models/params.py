@@ -20,7 +20,8 @@ import numpy as np
 
 from ..formats import GGUFReader, GGUFWriter
 from ..formats import quants as q
-from ..ops.qtensor import Q4Weight
+from ..formats.quants import pack_q4_direct
+from ..ops.qtensor import Int8Weight, Q4Weight
 from ..text.tokenizer import BPETokenizer
 from .configs import AudioEncoderConfig, TextDecoderConfig, ThinkerConfig
 
@@ -86,12 +87,13 @@ def decoder_config_from_gguf(reader: GGUFReader) -> TextDecoderConfig:
 def load_decoder_gguf(
     path: str,
     *,
-    precision: str = "q4_k",  # "q4_k" keeps packed weights; "bf16"/"f32" densify
+    precision: str = "int8",  # "int8" (MXU-native compute), "q4_k" (packed
+    #                            pallas path, lowest HBM), "bf16", "f32"
     dtype=jnp.bfloat16,
 ) -> tuple[TextDecoderConfig, dict, BPETokenizer]:
     reader = GGUFReader(path)
     cfg = decoder_config_from_gguf(reader)
-    keep_packed = precision == "q4_k"
+    keep_packed = precision in ("q4_k", "int8")
     dense_dtype = jnp.float32 if precision == "f32" else dtype
 
     layers: dict[str, Any] = {}
@@ -106,12 +108,41 @@ def load_decoder_gguf(
 
     embed = _load_tensor(reader, "token_embd.weight", keep_packed=False, dtype=dense_dtype)
     head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
+    if keep_packed:
+        # The LM head dominates decode bandwidth (vocab x hidden read per
+        # token); requantize it into the packed int4 layout, rows padded to
+        # the kernel's 256 tile (lm_logits slices back to lm_head_dim).
+        head_f32 = reader.tensor(head_name, dtype=np.float32)
+        pad_rows = (-head_f32.shape[0]) % 256
+        if pad_rows:
+            head_f32 = np.concatenate(
+                [head_f32, np.zeros((pad_rows, head_f32.shape[1]), np.float32)]
+            )
+        head = Q4Weight.from_packed(pack_q4_direct(head_f32))
+    else:
+        head = _load_tensor(reader, head_name, keep_packed=False, dtype=dense_dtype)
     params = {
         "embed": embed,
         "layers": layers,
         "final_norm": jnp.asarray(reader.tensor("output_norm.weight"), dtype=jnp.float32),
-        "lm_head": _load_tensor(reader, head_name, keep_packed=keep_packed, dtype=dense_dtype),
+        "lm_head": head,
     }
+    if precision == "int8":
+        # requantize q4_k -> per-channel int8 ON DEVICE (decode through the
+        # packed int4 kernel is VPU-dequant-bound; int8 rides the MXU's
+        # native path at ~2.6x the tokens/s — see ops/qtensor.Int8Weight)
+        from ..ops.qtensor import to_int8
+
+        def conv(w):
+            if isinstance(w, Q4Weight):
+                return jax.vmap(to_int8)(w) if w.packed.ndim == 3 else to_int8(w)
+            return w
+
+        params["layers"] = {
+            k: conv(v) for k, v in params["layers"].items()
+        }
+        params["lm_head"] = conv(params["lm_head"])
+
     tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
     return cfg, params, tokenizer
 
@@ -192,6 +223,11 @@ def fuse_layer_weights(params: dict) -> dict:
                 packed=jnp.concatenate([w.packed for w in ws], axis=-2),
                 scale=jnp.concatenate([w.scale for w in ws], axis=-2),
                 minv=jnp.concatenate([w.minv for w in ws], axis=-2),
+            )
+        if isinstance(ws[0], Int8Weight):
+            return Int8Weight(
+                q=jnp.concatenate([w.q for w in ws], axis=-2),
+                scale=jnp.concatenate([w.scale for w in ws], axis=-1),
             )
         return jnp.concatenate(ws, axis=-2)
 

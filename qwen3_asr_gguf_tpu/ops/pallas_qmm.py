@@ -39,23 +39,14 @@ def _kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, mlo_ref, mhi_ref, o_ref, 
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    packed = w_ref[:]  # [BN, BKh] uint8
-    g = bkh // GROUP
+    packed = w_ref[:]  # [BN, BKh] uint8, rank-major columns
 
     def expand(s_ref):
-        # Scale rows ride along full-width per N-tile (narrow lane blocks
-        # aren't tileable on TPU). Spreading group scales to elements is a
-        # one-hot matmul: E[gi, j] = (gi == this step's group of column j),
-        # s_full = s @ E — exact in f32, and it runs on the MXU instead of
-        # fighting Mosaic over lane reshapes.
-        s = s_ref[:]  # [BN, G_total]
-        gtot = s.shape[1]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (gtot, bkh), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (gtot, bkh), 1)
-        e = (rows == (k * g + cols // GROUP)).astype(jnp.float32)
-        return jax.lax.dot_general(
-            s, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        # rank-major packing makes every tile's per-column scale pattern a
+        # whole-row tile-repeat of [s0..s_{G-1}] — one VPU repeat, no
+        # matmuls, identical for every K step.
+        s = s_ref[:]  # [BN, G_half]
+        return pltpu.repeat(s, bkh // s.shape[1], axis=1)
 
     # uint8 -> int32 -> f32 (Mosaic has no direct u8->f32 cast)
     p32 = packed.astype(jnp.int32)
@@ -81,7 +72,10 @@ def _q4_matmul_2d(x, packed, scale, minv, bn: int, bkh: int):
     n, k2 = packed.shape
     g = k2 // GROUP  # groups per half
 
-    xlo, xhi = x[:, : k // 2], x[:, k // 2 :]
+    def perm(xh):  # natural -> rank-major to match the packed columns
+        return xh.reshape(t, g, GROUP).transpose(0, 2, 1).reshape(t, k2)
+
+    xlo, xhi = perm(x[:, : k // 2]), perm(x[:, k // 2 :])
     slo, shi = scale[:, :g], scale[:, g:]
     mlo, mhi = minv[:, :g], minv[:, g:]
 
@@ -111,16 +105,39 @@ def _q4_matmul_2d(x, packed, scale, minv, bn: int, bkh: int):
     return out
 
 
-def supported(x_shape: tuple[int, ...], w: Q4Weight, bn: int = 256, bkh: int = 256) -> bool:
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def pick_bkh(k: int) -> int | None:
+    """Packed-bytes-per-K-step: a lane-aligned multiple of the per-half
+    group count that divides the half width (so the scale tile-repeat and
+    the grid both line up)."""
+    k2 = k // 2
+    if k2 % GROUP:
+        return None
+    g = k2 // GROUP
+    base = g * 128 // _gcd(g, 128)  # lcm(g, 128)
+    if base > k2 or k2 % base:
+        return k2 if k2 % 128 == 0 else None  # single K step
+    # grow toward ~512 bytes per step for fewer grid iterations; beyond 512
+    # the per-step VMEM footprint risks the 16 MB scoped limit
+    bkh = base
+    while bkh * 2 <= min(k2, 512) and k2 % (bkh * 2) == 0:
+        bkh *= 2
+    return bkh if bkh <= 512 else None
+
+
+def supported(x_shape: tuple[int, ...], w: Q4Weight, bn: int = 256) -> bool:
     n, k = w.shape
-    return (
-        k % (2 * bkh) == 0
-        and n % bn == 0
-        and (k // 2) % GROUP == 0
-    )
+    if k // w.scale.shape[1] != GROUP:
+        return False  # non-32 grouping: no rank-major packing
+    return pick_bkh(k) is not None and n % bn == 0
 
 
-def q4_matmul(x: jax.Array, w: Q4Weight, *, bn: int = 256, bkh: int = 256) -> jax.Array:
+def q4_matmul(x: jax.Array, w: Q4Weight, *, bn: int = 256) -> jax.Array:
     """x [..., K] @ dequant(w).T -> [..., N] via the fused kernel.
 
     Falls back to XLA dequant-then-matmul for shapes off the tile grid.
@@ -128,13 +145,16 @@ def q4_matmul(x: jax.Array, w: Q4Weight, *, bn: int = 256, bkh: int = 256) -> ja
     n, k = w.shape
     lead = x.shape[:-1]
     t = int(np.prod(lead)) if lead else 1
-    if not supported(x.shape, w, bn, bkh):
+    # large T is matmul-bound: the XLA dequant-then-dot path amortizes the
+    # dequant over T rows and avoids the kernel's VMEM pressure on wide x
+    if t > 64 or not supported(x.shape, w, bn):
         dense = dequant_q4(w, dtype=x.dtype)
         return jax.lax.dot_general(
             x, dense, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
 
+    bkh = pick_bkh(k)
     x2 = x.reshape(t, k)
     tp = max(8, -(-t // 8) * 8)  # sublane-align rows
     if tp != t:

@@ -50,17 +50,73 @@ class Q4Weight:
 def dequant_q4(w: Q4Weight, dtype=jnp.bfloat16) -> jax.Array:
     """Dequantize to a dense [N, K] array (XLA path)."""
     n, k = w.shape
+    group = k // w.scale.shape[1]
     low = (w.packed & 0x0F).astype(jnp.uint8)
     high = (w.packed >> 4).astype(jnp.uint8)
+    if group == 32 and (k // 2) % 32 == 0:
+        # undo the rank-major packing: [rank, g] -> [g, rank] per half
+        g_half = k // 64
+
+        def unperm(h):
+            return h.reshape(n, 32, g_half).transpose(0, 2, 1).reshape(n, k // 2)
+
+        low, high = unperm(low), unperm(high)
     q = jnp.concatenate([low, high], axis=-1)  # planar: [first half | second half]
-    group = k // w.scale.shape[1]
     qf = q.reshape(n, -1, group).astype(jnp.float32)
     dense = qf * w.scale[..., None] - w.minv[..., None]
     return dense.reshape(n, k).astype(dtype)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scale"],
+    meta_fields=[],
+)
+@dataclass
+class Int8Weight:
+    """Per-output-channel symmetric int8 weight for the MXU's native int8
+    path. Decode is VPU-dequant-bound with packed int4 (each weight element
+    needs ~6 VPU ops to unpack+scale, capping streaming at ~95 GB/s on
+    v5e); int8 feeds the MXU directly — activations are quantized per row
+    on the fly and both scales apply AFTER the matmul, so the weight path
+    has zero per-element VPU work."""
+
+    q: jax.Array  # int8 [N, K]
+    scale: jax.Array  # f32 [N]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return tuple(self.q.shape[-2:])  # type: ignore[return-value]
+
+
+def int8_matmul(x: jax.Array, w: Int8Weight) -> jax.Array:
+    """x [..., K] @ dequant(w).T via int8 MXU with dynamic activation quant."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-10)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w.q,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * sx * w.scale
+    return out.astype(x.dtype)
+
+
+@jax.jit
+def to_int8(w) -> Int8Weight:
+    """Convert a Q4Weight (or dense array) to per-channel int8, on device."""
+    dense = dequant_q4(w, dtype=jnp.float32) if isinstance(w, Q4Weight) else w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(dense), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(dense / scale[:, None]), -127, 127).astype(jnp.int8)
+    return Int8Weight(q=q, scale=scale)
+
+
 def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
-    """x [..., K] @ w.T -> [..., N]; w is Q4Weight or dense [N, K] array."""
+    """x [..., K] @ w.T -> [..., N]; w is Int8Weight, Q4Weight or dense [N, K]."""
+    if isinstance(w, Int8Weight):
+        return int8_matmul(x, w)
     if isinstance(w, Q4Weight):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

@@ -32,6 +32,9 @@ STEP_MS = 80.0
 
 class QwenForcedAligner:
     def __init__(self, config: AlignerConfig):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         model_dir = config.model_dir
         thinker = P.load_thinker_config(model_dir)
@@ -40,7 +43,7 @@ class QwenForcedAligner:
         enc_path = os.path.join(model_dir, config.encoder_fn)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
         enc_cfg, enc_params = P.load_encoder_safetensors(enc_path)
-        if config.precision in ("q4_k", "int4"):
+        if config.precision in ("q4_k", "int4", "int8"):
             enc_params = P.quantize_encoder_params(enc_params)
         self.encoder = EncoderRunner(
             enc_params, enc_cfg,
@@ -49,7 +52,7 @@ class QwenForcedAligner:
 
         llm_path = os.path.join(model_dir, config.llm_fn)
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
-            llm_path, precision=config.precision if config.precision != "int4" else "q4_k"
+            llm_path, precision={"int4": "q4_k"}.get(config.precision, config.precision)
         )
         self.dec_cfg = dec_cfg
         self.tokenizer = tokenizer

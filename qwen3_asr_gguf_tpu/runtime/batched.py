@@ -50,7 +50,7 @@ class BatchedGenerator:
             embd = jnp.where(mask[:, None], gathered.astype(text_embd.dtype), text_embd)
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
-            logits = dec.lm_logits(params, last)
+            logits = dec.lm_logits(params, last, cfg.lm_head_dim)
             if greedy:
                 tok = sample_greedy(logits)
             else:
@@ -67,7 +67,7 @@ class BatchedGenerator:
         def step_one(params, cache, pos, tok, key, done, temperature, greedy: bool):
             embd = dec.embed_tokens(params, tok)
             hidden, cache = dec.forward_step(params, cfg, embd, cache, pos)
-            logits = dec.lm_logits(params, hidden)
+            logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
             if greedy:
                 nxt = sample_greedy(logits).astype(jnp.int32)
             else:

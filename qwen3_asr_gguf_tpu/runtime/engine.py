@@ -63,6 +63,9 @@ class _Segment:
 
 class QwenASREngine:
     def __init__(self, config: ASREngineConfig):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.verbose = config.verbose
         model_dir = config.model_dir
@@ -74,7 +77,7 @@ class QwenASREngine:
         enc_cfg, enc_params = P.load_encoder_safetensors(
             os.path.join(model_dir, config.encoder_fn)
         )
-        if config.precision in ("q4_k", "int4"):
+        if config.precision in ("q4_k", "int4", "int8"):
             enc_params = P.quantize_encoder_params(enc_params)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
         self.encoder = EncoderRunner(
@@ -86,7 +89,7 @@ class QwenASREngine:
         # decoder ----------------------------------------------------------
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
             os.path.join(model_dir, config.llm_fn),
-            precision="q4_k" if config.precision in ("q4_k", "int4") else config.precision,
+            precision={"int4": "q4_k"}.get(config.precision, config.precision),
         )
         dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
         self.dec_cfg = dec_cfg
@@ -390,6 +393,21 @@ class QwenASREngine:
             ids, audio_mask = self._build_prompt_ids(
                 int(combined.shape[0]), prefix_text, context, language
             )
+            # context budget: drop the oldest prefix tokens if prompt +
+            # generation headroom would overflow n_ctx (the reference's
+            # llama_decode would hard-fail here; n_ctx sizing note
+            # reference schema.py:84-86)
+            budget = self.config.n_ctx - min(self.config.max_new_tokens, 256)
+            if len(ids) > budget and prefix_text:
+                overflow = len(ids) - budget
+                ptoks = self.model.tokenize(prefix_text)
+                if overflow < len(ptoks):
+                    prefix_text = self.model.decode(ptoks[overflow:]).lstrip("�")
+                else:
+                    prefix_text = ""
+                ids, audio_mask = self._build_prompt_ids(
+                    int(combined.shape[0]), prefix_text, context, language
+                )
 
             res = self._safe_decode(
                 ids, audio_mask, combined, rollback_num, i == num_chunks - 1, temperature

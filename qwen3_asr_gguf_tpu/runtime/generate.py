@@ -79,7 +79,7 @@ class Generator:
         def prefill(params, embd, length, cache, key, temperature, greedy: bool):
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
-            logits = dec.lm_logits(params, last_hidden)
+            logits = dec.lm_logits(params, last_hidden, cfg.lm_head_dim)
             if greedy:
                 tok = sample_greedy(logits)
             else:
@@ -104,7 +104,7 @@ class Generator:
             embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
-            logits = dec.lm_logits(params, last_hidden)
+            logits = dec.lm_logits(params, last_hidden, cfg.lm_head_dim)
             if greedy:
                 tok = sample_greedy(logits)
             else:
@@ -125,7 +125,7 @@ class Generator:
                 cache, pos, tok, key, done = carry
                 embd = dec.embed_tokens(params, tok)
                 hidden, cache = dec.forward_step(params, cfg, embd, cache, pos)
-                logits = dec.lm_logits(params, hidden)
+                logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:
                     nxt = sample_greedy(logits).astype(jnp.int32)
                 else:
@@ -274,7 +274,7 @@ class SparseLogitsRunner:
         def run(params, embd, length, positions):
             hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
             sel = jnp.take(hidden, positions, axis=0)  # [n_positions, D]
-            return dec.lm_logits(params, sel)
+            return dec.lm_logits(params, sel, cfg.lm_head_dim)
 
         @partial(jax.jit, static_argnames=("limit",))
         def run_argmax(params, ids, audio_mask, audio_embd, length, positions, limit: int):
@@ -284,7 +284,7 @@ class SparseLogitsRunner:
             embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
             hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
             sel = jnp.take(hidden, positions, axis=0)
-            logits = dec.lm_logits(params, sel)
+            logits = dec.lm_logits(params, sel, cfg.lm_head_dim)
             return jnp.argmax(logits[:, :limit], axis=-1).astype(jnp.int32)
 
         self._run = run

@@ -69,8 +69,9 @@ class AlignerConfig:
     encoder_fn: str = "qwen3_aligner_encoder.safetensors"
     llm_fn: str = "qwen3_aligner_llm.q4_k.gguf"
     n_ctx: int = 2048
-    # weight precision for compute: "bf16" | "q4_k" | "int8" | "f32"
-    precision: str = "q4_k"
+    # decoder compute precision: "int8" (MXU-native, fastest decode) |
+    # "q4_k" (packed int4 pallas, lowest HBM) | "bf16" | "f32"
+    precision: str = "int8"
     use_dml: bool = False  # accepted & ignored (reference API compatibility)
 
 
@@ -87,7 +88,7 @@ class ASREngineConfig:
     verbose: bool = True
     enable_aligner: bool = False
     align_config: Optional[AlignerConfig] = None
-    precision: str = "q4_k"
+    precision: str = "int8"
     use_dml: bool = False  # accepted & ignored (reference API compatibility)
     # TPU-specific knobs
     max_new_tokens: int = 512

@@ -1,0 +1,68 @@
+"""Int8 MXU-path weight tests (fidelity + loader integration)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_gguf_tpu.formats.quants import pack_q4_direct
+from qwen3_asr_gguf_tpu.models import decoder as dec
+from qwen3_asr_gguf_tpu.models import params as P
+from qwen3_asr_gguf_tpu.models.configs import TextDecoderConfig
+from qwen3_asr_gguf_tpu.ops.qtensor import Int8Weight, Q4Weight, int8_matmul, matmul, to_int8
+from qwen3_asr_gguf_tpu.text.tokenizer import build_synthetic_tokenizer
+
+QCFG = TextDecoderConfig(
+    vocab_size=300, hidden_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=64, intermediate_size=512,
+)
+
+
+def test_int8_matmul_fidelity(rng):
+    w = rng.standard_normal((128, 256)).astype(np.float32) * 0.05
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    iw = to_int8(jnp.asarray(w))
+    assert isinstance(iw, Int8Weight)
+    out = np.asarray(int8_matmul(jnp.asarray(x), iw))
+    ref = x @ w.T
+    cos = (out.ravel() @ ref.ravel()) / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.999, cos
+
+
+def test_to_int8_from_q4(rng):
+    w = rng.standard_normal((64, 256)).astype(np.float32)
+    q4 = Q4Weight.from_packed(pack_q4_direct(w))
+    iw = to_int8(q4)
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    out = np.asarray(matmul(jnp.asarray(x), iw))
+    ref = np.asarray(matmul(jnp.asarray(x), q4, use_pallas=False))
+    cos = (out.ravel() @ ref.ravel()) / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.999  # int8 error is subordinate to the q4 content
+
+
+def test_loader_int8_precision(tmp_path, rng):
+    params = dec.init_params(QCFG, jax.random.key(0))
+    tok = build_synthetic_tokenizer(QCFG.vocab_size)
+    path = tmp_path / "m.gguf"
+    P.save_decoder_gguf(str(path), QCFG, params, tok, quant="q4_k")
+
+    cfg8, p8, _ = P.load_decoder_gguf(str(path), precision="int8")
+    assert isinstance(p8["layers"]["q_proj"], Int8Weight)
+    assert p8["layers"]["q_proj"].q.shape[0] == QCFG.num_layers
+    assert isinstance(p8["lm_head"], Int8Weight)
+
+    cfgd, pd, _ = P.load_decoder_gguf(str(path), precision="f32")
+    ids = np.arange(16) % QCFG.vocab_size
+    embd = dec.embed_tokens(pd, jnp.asarray(ids)).astype(jnp.float32)
+    h_ref, _ = dec.forward_prefill(pd, cfgd, embd, None)
+    h_int8, _ = dec.forward_prefill(p8, cfg8, embd, None)
+    a, b = np.asarray(h_ref).ravel(), np.asarray(h_int8).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.95, cos  # q4_k content + int8 requant + int8 activations
+
+    # fused int8 still matches
+    fused = P.fuse_layer_weights(p8)
+    assert isinstance(fused["layers"]["qkv_proj"], Int8Weight)
+    h_fused, _ = dec.forward_prefill(fused, cfg8, embd, None)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_int8), atol=2e-2, rtol=2e-2)
