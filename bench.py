@@ -80,7 +80,7 @@ def main() -> None:
             memory_num=1,
             verbose=False,
             max_new_tokens=96,
-            decode_block=32,
+            decode_block=48,  # 2 host round-trips per chunk's 96 tokens
         )
     )
     log(f"engine init {time.time()-t0:.2f}s")

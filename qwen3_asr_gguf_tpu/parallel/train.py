@@ -117,3 +117,24 @@ def make_train_step(
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
     return init_fn, step_fn
+
+
+# --------------------------------------------------------------------------
+# checkpoint / resume (orbax)
+# --------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Persist a (sharded) train state; restorable across restarts."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the template's shardings/shapes (template = init_fn(key))."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(path, template)
