@@ -36,7 +36,7 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     enc_cfg, enc_params = P.load_encoder_safetensors(
-        os.path.join(args.model_dir, args.encoder_fn)
+        os.path.join(args.model_dir, args.encoder_fn), as_numpy=True
     )
     if args.int4:
         enc_params = P.quantize_encoder_params(enc_params)

@@ -51,7 +51,7 @@ def main(argv=None) -> int:
 
     # encoder: f32 vs int4 -------------------------------------------------
     enc_cfg, enc_params = P.load_encoder_safetensors(
-        os.path.join(args.model_dir, args.encoder_fn)
+        os.path.join(args.model_dir, args.encoder_fn), as_numpy=True
     )
     enc_q = P.quantize_encoder_params(enc_params)
     ref, _ = EncoderRunner(enc_params, enc_cfg).encode(audio)

@@ -46,12 +46,24 @@ def _load_tensor(reader: GGUFReader, name: str, *, keep_packed: bool, dtype) -> 
     ti = reader.tensors[name]
     if keep_packed and ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:
         return Q4Weight.from_packed(reader.packed_q4(name))
-    if ti.ggml_type == q.GGML_Q6_K and ti.nbytes > 10 << 20:
-        # big q6_k tensors (token_embd/output) dequantize on device
+    from .. import native
+
+    if ti.ggml_type == q.GGML_Q6_K and ti.nbytes > 10 << 20 and not native.available():
+        # big q6_k tensors (token_embd/output) dequantize on device when the
+        # native host codec isn't built (pure-numpy q6_k costs ~40 s here)
         from ..ops.qtensor import dequant_q6k_device
 
         return dequant_q6k_device(reader.tensor_bytes(name), ti.shape, dtype=dtype)
     return jnp.asarray(reader.tensor(name), dtype=dtype)
+
+
+def _host_int8(p: "q.PackedQ4") -> tuple[np.ndarray, np.ndarray]:
+    """PackedQ4 (host) -> per-channel symmetric int8 (host numpy)."""
+    dense = q.unpack_q4(p)
+    amax = np.maximum(np.abs(dense).max(axis=-1), 1e-10)
+    scale = (amax / 127.0).astype(np.float32)
+    qv = np.clip(np.round(dense / scale[:, None]), -127, 127).astype(np.int8)
+    return qv, scale
 
 
 def _stack(leaves: list[Any]) -> Any:
@@ -96,6 +108,12 @@ def load_decoder_gguf(
     keep_packed = precision in ("q4_k", "int8")
     dense_dtype = jnp.float32 if precision == "f32" else dtype
 
+    tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
+
+    if precision == "int8":
+        params = _load_int8_params(reader, cfg, path, dense_dtype)
+        return cfg, params, tokenizer
+
     layers: dict[str, Any] = {}
     for mine, suffix in _LAYER_MAP.items():
         packed = keep_packed and mine in _QUANTIZABLE
@@ -127,24 +145,66 @@ def load_decoder_gguf(
         "final_norm": jnp.asarray(reader.tensor("output_norm.weight"), dtype=jnp.float32),
         "lm_head": head,
     }
-    if precision == "int8":
-        # requantize q4_k -> per-channel int8 ON DEVICE (decode through the
-        # packed int4 kernel is VPU-dequant-bound; int8 rides the MXU's
-        # native path at ~2.6x the tokens/s — see ops/qtensor.Int8Weight)
-        from ..ops.qtensor import to_int8
-
-        def conv(w):
-            if isinstance(w, Q4Weight):
-                return jax.vmap(to_int8)(w) if w.packed.ndim == 3 else to_int8(w)
-            return w
-
-        params["layers"] = {
-            k: conv(v) for k, v in params["layers"].items()
-        }
-        params["lm_head"] = conv(params["lm_head"])
-
-    tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
     return cfg, params, tokenizer
+
+
+def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+    """int8 load path: q4_k/q6_k content requantized to per-channel int8 on
+    the host (decode through the packed int4 kernel is VPU-dequant-bound;
+    int8 rides the MXU's native path at ~2.6x the tokens/s). The converted
+    arrays are cached in a `.int8.npz` sidecar so later engine inits skip
+    GGUF decode + requant entirely (reference init bar: 3.6 s)."""
+    sidecar = Path(path + ".int8.npz")
+    src_mtime = Path(path).stat().st_mtime
+    if sidecar.exists() and sidecar.stat().st_mtime >= src_mtime:
+        z = np.load(sidecar)
+        flat = {k: z[k] for k in z.files}
+    else:
+        flat: dict[str, np.ndarray] = {}
+        for mine, suffix in _LAYER_MAP.items():
+            if mine in _QUANTIZABLE:
+                qs, ss = zip(*(
+                    _host_int8(reader.packed_q4(f"blk.{i}.{suffix}"))
+                    for i in range(cfg.num_layers)
+                ))
+                flat[f"layers.{mine}.q"] = np.stack(qs)
+                flat[f"layers.{mine}.scale"] = np.stack(ss)
+            else:
+                flat[f"layers.{mine}"] = np.stack([
+                    reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
+                    for i in range(cfg.num_layers)
+                ])
+        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32)
+        flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
+        head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
+        head = reader.tensor(head_name, dtype=np.float32)
+        amax = np.maximum(np.abs(head).max(axis=-1), 1e-10)
+        flat["lm_head.scale"] = (amax / 127.0).astype(np.float32)
+        flat["lm_head.q"] = np.clip(
+            np.round(head / flat["lm_head.scale"][:, None]), -127, 127
+        ).astype(np.int8)
+        try:
+            np.savez(sidecar, **flat)
+        except OSError:
+            pass  # read-only model dir: skip caching
+
+    layers: dict[str, Any] = {}
+    for mine in _LAYER_MAP:
+        if mine in _QUANTIZABLE:
+            layers[mine] = Int8Weight(
+                q=jnp.asarray(flat[f"layers.{mine}.q"]),
+                scale=jnp.asarray(flat[f"layers.{mine}.scale"]),
+            )
+        else:
+            layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+    return {
+        "embed": jnp.asarray(flat["embed"], dtype=dense_dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(flat["final_norm"], dtype=jnp.float32),
+        "lm_head": Int8Weight(
+            q=jnp.asarray(flat["lm_head.q"]), scale=jnp.asarray(flat["lm_head.scale"])
+        ),
+    }
 
 
 def save_decoder_gguf(
@@ -274,8 +334,11 @@ def save_encoder_safetensors(path: str, cfg: AudioEncoderConfig, params: dict) -
 
 
 def load_encoder_safetensors(
-    path: str, *, dtype=jnp.float32
+    path: str, *, dtype=jnp.float32, as_numpy: bool = False
 ) -> tuple[AudioEncoderConfig, dict]:
+    """`as_numpy=True` keeps params on the host — required when they will be
+    quantized before upload (downloading device arrays back is the slow
+    direction on remote-attached TPUs)."""
     from safetensors import safe_open
     from safetensors.numpy import load_file
 
@@ -283,7 +346,10 @@ def load_encoder_safetensors(
         meta = f.metadata() or {}
     cfg = AudioEncoderConfig(**json.loads(meta["config"])) if "config" in meta else AudioEncoderConfig()
     flat = load_file(path)
-    tree = _unflatten({k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()})
+    if as_numpy:
+        tree = _unflatten({k: np.asarray(v, dtype=np.float32) for k, v in flat.items()})
+    else:
+        tree = _unflatten({k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()})
     return cfg, tree
 
 

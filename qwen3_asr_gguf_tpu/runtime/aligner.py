@@ -42,7 +42,7 @@ class QwenForcedAligner:
 
         enc_path = os.path.join(model_dir, config.encoder_fn)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
-        enc_cfg, enc_params = P.load_encoder_safetensors(enc_path)
+        enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         if config.precision in ("q4_k", "int4", "int8"):
             enc_params = P.quantize_encoder_params(enc_params)
         self.encoder = EncoderRunner(

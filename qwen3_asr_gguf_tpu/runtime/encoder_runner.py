@@ -40,7 +40,9 @@ class EncoderRunner:
         bucket_frames: int = 500,  # 5 s granularity for variable inputs
         warmup_sec: float = 0.0,
     ):
-        self.params = params
+        # params may arrive as host numpy (quantized host-side); pin them on
+        # device once so jitted calls don't re-transfer per invocation
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.frontend = LogMelFrontend(filters=mel_filters)
         # bucket must stay on the n_window conv grid

@@ -45,6 +45,7 @@ from ..utils.languages import normalize_language_name, validate_language
 from ..models import params as P
 from .encoder_runner import EncoderRunner
 from .generate import Generator
+from .. import logger
 
 SAMPLE_RATE = 16_000
 _PUNCT_NEWLINE = re.compile(r"([，。？！：,\.])")
@@ -66,16 +67,19 @@ class QwenASREngine:
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
+        t_init = time.time()
         self.config = config
         self.verbose = config.verbose
         model_dir = config.model_dir
+        logger.info("engine init: model_dir=%s precision=%s n_ctx=%d",
+                    model_dir, config.precision, config.n_ctx)
 
         thinker = P.load_thinker_config(model_dir)
         self.thinker = thinker
 
         # encoder ----------------------------------------------------------
         enc_cfg, enc_params = P.load_encoder_safetensors(
-            os.path.join(model_dir, config.encoder_fn)
+            os.path.join(model_dir, config.encoder_fn), as_numpy=True
         )
         if config.precision in ("q4_k", "int4", "int8"):
             enc_params = P.quantize_encoder_params(enc_params)
@@ -114,6 +118,9 @@ class QwenASREngine:
         self.ID_AUDIO_START = thinker.audio_start_token_id
         self.ID_AUDIO_END = thinker.audio_end_token_id
         self.ID_ASR_TEXT = thinker.asr_text_token_id
+        logger.info("engine ready in %.2fs (decoder %dL/%dd, encoder %dL/%dd)",
+                    time.time() - t_init, dec_cfg.num_layers, dec_cfg.hidden_size,
+                    enc_cfg.encoder_layers, enc_cfg.d_model)
 
     def shutdown(self) -> None:
         """No helper process to stop (API compatibility, asr.py:73-78)."""

@@ -32,7 +32,9 @@ IDIOM_BLACKLIST = {
 
 _NUM_CHARS = "零〇一二两三四五六七八九十百千万亿"
 _SPAN_RE = re.compile(
-    rf"(负?百分之[{_NUM_CHARS}点]+|负?[{_NUM_CHARS}]+(?:点[零〇一二两三四五六七八九]+)?)"
+    rf"(负?[{_NUM_CHARS}]+分之[{_NUM_CHARS}点]+"  # fractions 三分之二
+    rf"|负?百分之[{_NUM_CHARS}点]+"
+    rf"|负?[{_NUM_CHARS}]+(?:点[零〇一二两三四五六七八九]+)?)"
 )
 
 
@@ -91,6 +93,14 @@ def _convert_span(s: str) -> str | None:
     percent = s.startswith("百分之")
     if percent:
         s = s[len("百分之"):]
+    elif "分之" in s:
+        # fraction: X分之Y -> Y/X
+        denom_s, _, numer_s = s.partition("分之")
+        denom = _parse_cardinal(denom_s)
+        numer = _parse_cardinal(numer_s)
+        if denom is None or numer is None:
+            return None
+        return f"{'-' if neg else ''}{numer}/{denom}"
 
     # decimal part
     frac = ""

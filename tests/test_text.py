@@ -222,3 +222,13 @@ def test_export_files(tmp_path):
     data = json.loads((tmp_path / "o.json").read_text(encoding="utf-8"))
     assert data[0] == {"text": "今", "start": 0.0, "end": 0.1}
     assert "你好。" in (tmp_path / "o.txt").read_text(encoding="utf-8")
+
+
+@pytest.mark.parametrize("src,expect", [
+    ("三分之二", "2/3"),
+    ("负四分之一", "-1/4"),
+    ("占三分之二的人", "占2/3的人"),
+    ("一百分之三", "3/100"),
+])
+def test_chinese_itn_fractions(src, expect):
+    assert chinese_to_num(src) == expect
