@@ -251,3 +251,17 @@ def lm_logits(params: Params, hidden: jax.Array, n_out: int | None = None) -> ja
 
 def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
     return jnp.take(params["embed"], token_ids, axis=0)
+
+
+def splice_prompt(
+    params: Params,
+    ids: jax.Array,  # [T] int32 (placeholder ids at audio slots)
+    audio_mask: jax.Array,  # [T] bool
+    audio_embd: jax.Array,  # [Ta, D]
+) -> jax.Array:
+    """Merge text-token embeddings with the audio-embedding stream on device
+    (the official masked_scatter merge, modeling_qwen3_asr.py:1194-1203)."""
+    text_embd = embed_tokens(params, ids)
+    apos = jnp.cumsum(audio_mask.astype(jnp.int32)) - 1
+    gathered = jnp.take(audio_embd, jnp.clip(apos, 0, audio_embd.shape[0] - 1), axis=0)
+    return jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)

@@ -44,10 +44,7 @@ class BatchedGenerator:
         eos = self.eos_ids
 
         def prefill_one(params, ids, mask, audio, length, cache, key, temperature, greedy: bool):
-            text_embd = dec.embed_tokens(params, ids)
-            apos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            gathered = jnp.take(audio, jnp.clip(apos, 0, audio.shape[0] - 1), axis=0)
-            embd = jnp.where(mask[:, None], gathered.astype(text_embd.dtype), text_embd)
+            embd = dec.splice_prompt(params, ids, mask, audio)
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
             logits = dec.lm_logits(params, last, cfg.lm_head_dim)

@@ -98,10 +98,7 @@ class Generator:
 
         @partial(jax.jit, static_argnames=("greedy",), donate_argnames=("cache",))
         def prefill(params, ids, audio_mask, audio_embd, length, cache, key, temperature, greedy: bool):
-            text_embd = dec.embed_tokens(params, ids)
-            apos = jnp.cumsum(audio_mask.astype(jnp.int32)) - 1
-            gathered = jnp.take(audio_embd, jnp.clip(apos, 0, audio_embd.shape[0] - 1), axis=0)
-            embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
+            embd = dec.splice_prompt(params, ids, audio_mask, audio_embd)
             hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
             last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
             logits = dec.lm_logits(params, last_hidden, cfg.lm_head_dim)
@@ -278,10 +275,7 @@ class SparseLogitsRunner:
 
         @partial(jax.jit, static_argnames=("limit",))
         def run_argmax(params, ids, audio_mask, audio_embd, length, positions, limit: int):
-            text_embd = dec.embed_tokens(params, ids)
-            apos = jnp.cumsum(audio_mask.astype(jnp.int32)) - 1
-            gathered = jnp.take(audio_embd, jnp.clip(apos, 0, audio_embd.shape[0] - 1), axis=0)
-            embd = jnp.where(audio_mask[:, None], gathered.astype(text_embd.dtype), text_embd)
+            embd = dec.splice_prompt(params, ids, audio_mask, audio_embd)
             hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
             sel = jnp.take(hidden, positions, axis=0)
             logits = dec.lm_logits(params, sel, cfg.lm_head_dim)
