@@ -126,7 +126,7 @@ def load_decoder_gguf(
 
     embed = _load_tensor(reader, "token_embd.weight", keep_packed=False, dtype=dense_dtype)
     head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
-    if keep_packed:
+    if keep_packed and cfg.hidden_size % 64 == 0:
         # The LM head dominates decode bandwidth (vocab x hidden read per
         # token); requantize it into the packed int4 layout, rows padded to
         # the kernel's 256 tile (lm_logits slices back to lm_head_dim).

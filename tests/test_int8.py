@@ -66,3 +66,22 @@ def test_loader_int8_precision(tmp_path, rng):
     assert isinstance(fused["layers"]["qkv_proj"], Int8Weight)
     h_fused, _ = dec.forward_prefill(fused, cfg8, embd, None)
     np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_int8), atol=2e-2, rtol=2e-2)
+
+
+def test_int8_sidecar_cache(tmp_path, rng):
+    """Second load must come from the .int8.npz sidecar, bit-identically."""
+    params = dec.init_params(QCFG, jax.random.key(3))
+    tok = build_synthetic_tokenizer(QCFG.vocab_size)
+    path = tmp_path / "m.gguf"
+    P.save_decoder_gguf(str(path), QCFG, params, tok, quant="q4_k")
+
+    _, p1, _ = P.load_decoder_gguf(str(path), precision="int8")
+    sidecar = tmp_path / "m.gguf.int8.npz"
+    assert sidecar.exists()
+    _, p2, _ = P.load_decoder_gguf(str(path), precision="int8")
+    np.testing.assert_array_equal(
+        np.asarray(p1["layers"]["q_proj"].q), np.asarray(p2["layers"]["q_proj"].q)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p1["lm_head"].scale), np.asarray(p2["lm_head"].scale)
+    )
