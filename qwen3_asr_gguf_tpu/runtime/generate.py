@@ -116,12 +116,15 @@ class Generator:
         eos = self.eos_ids
         block = self.block
 
-        @partial(jax.jit, static_argnames=("greedy",), donate_argnames=("cache",))
-        def decode_block(params, cache, pos0, tok0, key, temperature, done0, greedy: bool):
+        @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
+        def decode_block(params, cache, pos0, tok0, key, temperature, done0,
+                         greedy: bool, attn_window: int):
             def step(carry, _):
                 cache, pos, tok, key, done = carry
                 embd = dec.embed_tokens(params, tok)
-                hidden, cache = dec.forward_step(params, cfg, embd, cache, pos)
+                hidden, cache = dec.forward_step(
+                    params, cfg, embd, cache, pos, attn_window=attn_window
+                )
                 logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:
                     nxt = sample_greedy(logits).astype(jnp.int32)
@@ -241,6 +244,7 @@ class Generator:
             jnp.float32(max(temperature, 1e-6)),
             state.done,
             greedy,
+            self.n_ctx,
         )
         packed = np.asarray(packed)  # ONE device->host fetch per block
         toks = [int(t) for t in packed[:-1] if t >= 0]
