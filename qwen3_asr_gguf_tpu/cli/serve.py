@@ -91,9 +91,10 @@ def synthesize_verbose_json(result, duration: float, language: str) -> dict:
 
 
 class ASRServer:
-    def __init__(self, engine, model_name: str = "qwen3-asr-tpu"):
+    def __init__(self, engine, model_name: str = "qwen3-asr-tpu", batcher=None):
         self.engine = engine
         self.model_name = model_name
+        self.batcher = batcher  # MicroBatcher: concurrent short requests
         self.lock = threading.Lock()
         self.stats_ring: deque = deque(maxlen=50)
         self.started = time.time()
@@ -138,15 +139,27 @@ class ASRServer:
             audio = load_audio(tmp_path)
             duration = len(audio) / 16_000
             t0 = time.time()
-            with self.lock:
-                result = self.engine.asr(
-                    audio,
-                    context=prompt or "",
-                    language=language,
-                    chunk_size_sec=self.engine.config.chunk_size,
-                    memory_chunks=self.engine.config.memory_num,
+            # short json/text requests coalesce into vmapped batches; formats
+            # needing alignment and long audio take the sequential engine
+            if (
+                self.batcher is not None
+                and response_format in ("json", "text")
+                and self.batcher.eligible(audio)
+            ):
+                result = self.batcher.submit(
+                    audio, context=prompt or "", language=language,
                     temperature=temperature,
                 )
+            else:
+                with self.lock:
+                    result = self.engine.asr(
+                        audio,
+                        context=prompt or "",
+                        language=language,
+                        chunk_size_sec=self.engine.config.chunk_size,
+                        memory_chunks=self.engine.config.memory_num,
+                        temperature=temperature,
+                    )
             elapsed = time.time() - t0
         except Exception as e:  # pragma: no cover
             return 500, "application/json", json.dumps(
@@ -182,11 +195,15 @@ class ASRServer:
         return 200, "application/json", json.dumps({"text": result.text}, ensure_ascii=False)
 
     def stats(self) -> dict:
-        return {
+        out = {
             "uptime_s": round(time.time() - self.started, 1),
             "requests": self.n_requests,
             "history": list(self.stats_ring),
         }
+        if self.batcher is not None:
+            out["batches"] = self.batcher.n_batches
+            out["batched_requests"] = self.batcher.n_batched_requests
+        return out
 
 
 def make_handler(server: ASRServer):
@@ -247,6 +264,9 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-size", type=float, default=40.0)
     p.add_argument("--timestamp", action="store_true", help="enable aligner (srt/vtt/verbose_json words)")
     p.add_argument("--llm-fn", default=None)
+    p.add_argument("--batch-window", type=float, default=0.05,
+                   help="micro-batch gather window seconds (0 disables batching)")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args(argv)
 
     from ..runtime.engine import QwenASREngine
@@ -268,7 +288,12 @@ def main(argv=None) -> int:
             precision=precision, n_ctx=args.n_ctx,
         )
     engine = QwenASREngine(cfg)
-    server = ASRServer(engine)
+    batcher = None
+    if args.batch_window > 0 and args.max_batch > 1:
+        from ..runtime.microbatch import MicroBatcher
+
+        batcher = MicroBatcher(engine, window_s=args.batch_window, max_batch=args.max_batch)
+    server = ASRServer(engine, batcher=batcher)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"listening on http://{args.host}:{args.port}  (POST /v1/audio/transcriptions)")
     try:

@@ -148,3 +148,41 @@ def test_cli_missing_model(tmp_path):
     wav.write_bytes(_wav_bytes())
     rc = main([str(wav), "--model-dir", str(tmp_path / "nope")])
     assert rc == 2
+
+
+def test_concurrent_requests_microbatch(model_dir):
+    """4 concurrent clients coalesce into a vmapped batch."""
+    import concurrent.futures
+
+    from qwen3_asr_gguf_tpu.runtime.microbatch import MicroBatcher
+
+    engine = QwenASREngine(ASREngineConfig(
+        model_dir=model_dir, llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=10, decode_block=8,
+    ))
+    batcher = MicroBatcher(engine, window_s=0.2, max_batch=8)
+    srv = ASRServer(engine, batcher=batcher)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    addr = httpd.server_address
+    try:
+        def one(freq):
+            body, ctype = _multipart({
+                "file": ("t.wav", _wav_bytes(1.0)),
+                "language": "en",
+                "temperature": "0",
+            })
+            return _request(addr, "POST", "/v1/audio/transcriptions", body, ctype)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(one, [300, 400, 500, 600]))
+        assert all(status == 200 for status, _ in results)
+        assert all(b"text" in data for _, data in results)
+        status, data = _request(addr, "GET", "/stats")
+        stats = json.loads(data)
+        assert stats["requests"] == 4
+        assert stats["batched_requests"] >= 2  # at least one real batch formed
+    finally:
+        httpd.shutdown()
+        batcher.close()
