@@ -18,7 +18,6 @@ The synthetic checkpoint is cached in .bench_cache/ across rounds.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path

@@ -26,7 +26,7 @@ from ..audio.mel import mel_filterbank
 from ..models import decoder as dec_model
 from ..models import encoder as enc_model
 from ..models import params as P
-from ..models.configs import PRESETS, ThinkerConfig, preset
+from ..models.configs import ThinkerConfig, preset
 from ..text.tokenizer import BPETokenizer, build_synthetic_tokenizer
 
 ASR_ENCODER_FN = "qwen3_asr_encoder.safetensors"

@@ -17,7 +17,7 @@ Reading is zero-copy: tensor payloads are returned as views into one
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, BinaryIO, Iterable
 
 import numpy as np

@@ -17,7 +17,6 @@ JAX's async dispatch.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
