@@ -140,11 +140,19 @@ class MicroBatcher:
             ids, mask = eng._build_prompt_ids(n_audio, "", p.context, p.language)
             ids_list.append(ids)
             mask_list.append(mask)
+        # pad to the fixed batch width so every call reuses ONE compiled
+        # program (each new width otherwise costs a multi-minute compile)
+        n_real = len(batch)
+        while len(ids_list) < self.max_batch:
+            ids_list.append(ids_list[0])
+            mask_list.append(mask_list[0])
+            embds.append(embds[0])
         rows = gen.generate(
             ids_list, mask_list, embds,
             temperature=batch[0].temperature,
             max_new_tokens=eng.config.max_new_tokens,
         )
+        rows = rows[:n_real]
         return [
             TranscribeResult(
                 text=eng.model.decode(toks),
