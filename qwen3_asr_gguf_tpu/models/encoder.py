@@ -150,7 +150,10 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array, key_mask=None) ->
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
     scores = scores * (hd ** -0.5)
     if key_mask is not None:
-        scores = jnp.where(key_mask[None, None, None, :], scores, -1e30)
+        if key_mask.ndim == 1:  # same keys for every row
+            scores = jnp.where(key_mask[None, None, None, :], scores, -1e30)
+        else:  # [B, T] per-row keys (windowed tail padding)
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
     out = out.reshape(b, t, d)
@@ -173,6 +176,13 @@ def backend_transformer(
         pad = (-t) % win
         x = jnp.pad(hidden, ((0, pad), (0, 0)))
         x = x.reshape(-1, win, hidden.shape[1])
+        if pad:
+            # the remainder window must not attend to its zero-padded tail
+            # (the reference's cu_seqlens block gives it an exact-length
+            # block, modeling_qwen3_asr.py:719-726)
+            key_mask = (
+                jnp.arange(x.shape[0] * win, dtype=jnp.int32).reshape(x.shape[0], win) < t
+            )
     else:
         x = hidden[None, :, :]
         pad = 0

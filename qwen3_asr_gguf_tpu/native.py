@@ -43,16 +43,36 @@ def _bind(lib) -> None:
     lib.q3a_pack_q4_direct.argtypes = [_f32p, _i64, _i64, _u8p, _f32p, _f32p]
 
 
+def _sources_mtime() -> float:
+    paths = list((_NATIVE_DIR / "src").glob("*.cpp")) + [_NATIVE_DIR / "CMakeLists.txt"]
+    return max((p.stat().st_mtime for p in paths if p.exists()), default=0.0)
+
+
 def load() -> ctypes.CDLL | None:
-    """Load the native library if built; None otherwise (NumPy fallback)."""
+    """Load the native library if built; None otherwise (NumPy fallback).
+
+    A .so older than the C++ sources is treated as absent — a stale binary
+    silently overriding edited sources would make numerics diverge with no
+    visible diff. Rebuild with `python -m qwen3_asr_gguf_tpu.native build`.
+    """
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
     if os.environ.get("QWEN3_ASR_TPU_NO_NATIVE"):
         return None
+    src_mtime = _sources_mtime()
     for so in _SO_CANDIDATES:
         if so.exists():
+            if so.stat().st_mtime < src_mtime:
+                import warnings
+
+                warnings.warn(
+                    f"{so} is older than native/src — ignoring it; rebuild with "
+                    "`python -m qwen3_asr_gguf_tpu.native build`",
+                    stacklevel=2,
+                )
+                continue
             try:
                 lib = ctypes.CDLL(str(so))
                 _bind(lib)

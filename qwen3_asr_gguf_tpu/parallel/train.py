@@ -72,7 +72,12 @@ def _forward_loss(params, cfg: ThinkerConfig, batch):
     logits = dec.lm_logits(params["decoder"], hidden)  # [B, T, V]
 
     targets = jnp.roll(tokens, -1, axis=-1)
-    mask = batch["loss_mask"].astype(jnp.float32)
+    # the roll wraps the last position's target around to tokens[0] — never
+    # train on it, regardless of the caller-supplied loss_mask
+    t_len = tokens.shape[-1]
+    mask = batch["loss_mask"].astype(jnp.float32) * (
+        jnp.arange(t_len) < t_len - 1
+    ).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)

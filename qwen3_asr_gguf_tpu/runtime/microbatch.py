@@ -98,6 +98,12 @@ class MicroBatcher:
             if self._stop:
                 return
             if not self._queue:
+                # a submit() racing with _take_batch can leave _wake set with
+                # an empty queue; clear it under the lock (re-checking the
+                # queue) so this loop blocks instead of busy-spinning
+                with self._lock:
+                    if not self._queue:
+                        self._wake.clear()
                 continue
             time.sleep(self.window_s)  # let the batch fill
             batch = self._take_batch()

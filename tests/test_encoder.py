@@ -127,3 +127,25 @@ def test_windowed_attention_mode(rng):
     out2 = np.asarray(enc.backend_transformer(params, cfg, jnp.asarray(hidden2)))
     np.testing.assert_array_equal(full[:win], out2[:win])
     assert np.abs(full[win:] - out2[win:]).max() > 1e-3
+
+
+def test_windowed_tail_padding_masked(rng):
+    """A remainder window must equal running that window alone: the
+    zero-padded tail is masked out of attention (reference cu_seqlens gives
+    the last block its exact length, modeling_qwen3_asr.py:719-726)."""
+    cfg = AudioEncoderConfig(
+        num_mel_bins=128, d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, downsample_hidden_size=32, output_dim=48,
+        attention_mode="windowed",
+    )
+    params = enc.init_params(cfg, jax.random.key(3))
+    win = cfg.tokens_per_window * (cfg.n_window_infer // (cfg.n_window * 2))  # 26
+    tail = 7
+    hidden = rng.standard_normal((win + tail, cfg.d_model)).astype(np.float32)
+
+    out = np.asarray(enc.backend_transformer(params, cfg, jnp.asarray(hidden)))
+    # the tail window run by itself (exactly `tail` tokens, no padding)
+    out_tail_alone = np.asarray(
+        enc.backend_transformer(params, cfg, jnp.asarray(hidden[win:]))
+    )
+    np.testing.assert_allclose(out[win:], out_tail_alone, atol=1e-5)
