@@ -61,6 +61,22 @@ class QwenForcedAligner:
         self.ID_AUDIO_END = thinker.audio_end_token_id
         self.ID_TIMESTAMP = thinker.timestamp_token_id
         self.STEP_MS = thinker.timestamp_segment_ms or STEP_MS
+        self._ko_scores: dict | None = None  # built lazily on first Korean align
+
+    def _korean_scores(self) -> dict:
+        """L-dictionary for Korean segmentation, derived from the model's own
+        BPE vocabulary (the reference ships a frequency-dict asset for
+        soynlp, aligner.py:19-30; the tokenizer's Hangul merges are the
+        equivalent high-frequency word list and travel with every model)."""
+        if self._ko_scores is None:
+            words = []
+            for tid in range(self.tokenizer.n_vocab):
+                try:
+                    words.append(self.tokenizer.token_to_bytes(tid).decode("utf-8").strip())
+                except (UnicodeDecodeError, KeyError):
+                    continue
+            self._ko_scores = align_text.korean_scores_from_vocab(words)
+        return self._ko_scores
 
     def align(
         self,
@@ -81,7 +97,8 @@ class QwenForcedAligner:
         audio_embd = embd_padded[:n_audio]
         t_enc = time.time() - t_enc0  # dispatch time; device overlaps decode build
 
-        words = align_text.tokenize(text, language)
+        ko_scores = self._korean_scores() if (language or "").lower() == "korean" else None
+        words = align_text.tokenize(text, language, ko_scores=ko_scores)
         if not words:
             return ForcedAlignResult(items=align_text.reconcile(text, []), performance={
                 "encoder_time": t_enc, "decoder_time": 0.0, "total_time": time.time() - t_start,

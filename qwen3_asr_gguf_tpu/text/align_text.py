@@ -4,8 +4,10 @@ Host-side algorithms matching the reference AlignerProcessor
 (qwen_asr_gguf/inference/aligner.py:17-227):
 
 - language-aware word tokenization (CJK per-char; whitespace languages by
-  word; Japanese/Korean degrade to per-char without their optional
-  segmenter deps, same as the reference's ImportError fallback);
+  word; Korean via a dependency-free LTokenizer over a caller-supplied
+  L-dictionary — see `tokenize_korean` — matching the reference's
+  soynlp+dict path; Japanese degrades to per-char without optional nagisa,
+  same as the reference's ImportError fallback);
 - LIS-based monotonic timestamp repair with neighbor-fill (<=2 anomalies)
   or linear interpolation (>2);
 - reconciliation of punctuation/whitespace back into the aligned timeline
@@ -66,7 +68,53 @@ def _tokenize_chars(text: str) -> List[str]:
     return [ch for ch in text if is_kept_char(ch)]
 
 
-def tokenize(text: str, language: Optional[str] = None) -> List[str]:
+def _is_hangul(ch: str) -> bool:
+    code = ord(ch)
+    return 0xAC00 <= code <= 0xD7A3 or 0x1100 <= code <= 0x11FF or 0x3130 <= code <= 0x318F
+
+
+def tokenize_korean(text: str, scores: Optional[dict] = None) -> List[str]:
+    """LTokenizer-style Korean segmentation without the soynlp dependency.
+
+    The reference builds soynlp's LTokenizer over a bundled frequency dict
+    with every word scored 1.0 (aligner.py:19-30, 58-69); with uniform
+    scores that algorithm reduces to: per whitespace eojeol, split off the
+    longest prefix found in the dictionary as L, keep the remainder as R.
+    `scores` maps word -> score (only membership matters at uniform scores).
+    """
+    if not scores:
+        toks = tokenize_general(text)
+        return toks if toks else _tokenize_chars(text)
+    tokens: List[str] = []
+    for eojeol in text.split():
+        cleaned = clean_token(eojeol)
+        if not cleaned:
+            continue
+        # soynlp picks the (L, R) split maximizing (score(L), len(L));
+        # all-zero scores leave the eojeol whole
+        n = len(cleaned)
+        best = max(range(1, n + 1), key=lambda i: (scores.get(cleaned[:i], 0.0), i))
+        tokens.append(cleaned[:best])
+        if best < n:
+            tokens.append(cleaned[best:])
+    return tokens if tokens else _tokenize_chars(text)
+
+
+def korean_scores_from_vocab(vocab_words) -> dict:
+    """Build an L-dictionary from an iterable of words/subwords (e.g. the
+    model's BPE vocabulary decoded to text): all-Hangul entries of length
+    >= 2 score 1.0. A standalone stand-in for the reference's bundled
+    korean_dict_jieba.dict — every deployment ships the model tokenizer,
+    whose Korean BPE merges are exactly the high-frequency word prefixes."""
+    scores: dict[str, float] = {}
+    for w in vocab_words:
+        w = w.strip()
+        if len(w) >= 2 and all(_is_hangul(ch) for ch in w):
+            scores[w] = 1.0
+    return scores
+
+
+def tokenize(text: str, language: Optional[str] = None, ko_scores: Optional[dict] = None) -> List[str]:
     lang = str(language or "").lower()
     if lang == "japanese":
         try:
@@ -76,10 +124,7 @@ def tokenize(text: str, language: Optional[str] = None) -> List[str]:
         except ImportError:
             return _tokenize_chars(text)
     if lang == "korean":
-        # the reference uses soynlp's LTokenizer with a bundled dictionary;
-        # whitespace tokenization is the dependency-free equivalent
-        toks = tokenize_general(text)
-        return toks if toks else _tokenize_chars(text)
+        return tokenize_korean(text, ko_scores)
     return tokenize_general(text)
 
 
