@@ -123,7 +123,9 @@ def main() -> None:
     log(
         f"wall {wall:.2f}s audio {duration:.2f}s | prefill {perf['prefill_tokens']}tok "
         f"@ {pre_tps:.0f}tok/s | generate {perf['decode_tokens']}tok @ {gen_tps:.0f}tok/s "
-        f"| encode wait {perf['wait_time']:.2f}s"
+        f"| encode wait {perf['wait_time']:.2f}s | prefill {perf['prefill_time']:.2f}s "
+        f"decode {perf['decode_time']:.2f}s align "
+        f"{perf['align_enc_time'] + perf['align_dec_time']:.2f}s"
     )
 
     print(json.dumps({

@@ -200,6 +200,92 @@ def forward_prefill(
     return hidden, cache
 
 
+def forward_prefill_at(
+    params: Params,
+    cfg: TextDecoderConfig,
+    embd: jax.Array,  # [T, D] suffix embeddings
+    cache: dict[str, jax.Array],
+    start: jax.Array,  # int32 scalar: first position of this suffix
+    *,
+    prefix_window: int,  # static: cache slots [0, prefix_window) may hold prefix
+    length: jax.Array | int | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Causal prefill of a suffix on top of an existing cache prefix.
+
+    The prompt's first `start` positions are already in `cache` (reused from
+    the previous chunk: header + rebased memory-audio KV); only the suffix
+    is prefilled. Queries attend to cache[0:start) plus causally to the
+    suffix. This is the reference's memory semantics (asr.py:269-393)
+    without re-prefilling the memory chunk's audio every chunk.
+    """
+    t = embd.shape[0]
+    scale = cfg.head_dim ** -0.5
+    rel = jnp.arange(t, dtype=jnp.int32)
+    positions = start + rel
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    # keys: [prefix_window cache slots | t new slots]
+    pcols = jnp.arange(prefix_window, dtype=jnp.int32)
+    prefix_mask = jnp.broadcast_to(pcols[None, :] < start, (t, prefix_window))
+    causal = rel[:, None] >= rel[None, :]
+    if length is not None:
+        causal = causal & (rel[None, :] < length)
+    mask = jnp.concatenate([prefix_mask, causal], axis=1)  # [t, prefix_window+t]
+
+    def layer_fn(h, xs):
+        layer, k_pre, v_pre = xs
+        attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
+        k_all = jnp.concatenate([k_pre.astype(k.dtype), k], axis=0)
+        v_all = jnp.concatenate([v_pre.astype(v.dtype), v], axis=0)
+        attn = _gqa_attention(q, k_all, v_all, mask, scale)
+        attn = matmul(attn.reshape(t, -1), layer["o_proj"])
+        h = h + attn
+        mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(layer, mlp_in)
+        return h, (k, v)
+
+    hidden, (ks, vs) = jax.lax.scan(
+        layer_fn,
+        embd,
+        (params["layers"], cache["k"][:, :prefix_window], cache["v"][:, :prefix_window]),
+    )
+    cache_dtype = cache["k"].dtype
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, start, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, start, 0, 0)),
+    }
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, cache
+
+
+def shift_kv_block(
+    cfg: TextDecoderConfig,
+    cache: dict[str, jax.Array],
+    src: jax.Array,  # int32: first slot of the block to move
+    dst: jax.Array,  # int32: destination first slot
+    *,
+    block: int,  # static block length
+) -> dict[str, jax.Array]:
+    """Move a KV block to new positions, re-basing RoPE on the keys.
+
+    K rows carry the rotation of their absolute position; rotating by
+    (dst - src) makes the block valid at its new slots (values are
+    position-independent). Used to turn chunk i's current-audio KV into
+    chunk i+1's memory-audio KV without re-prefilling it."""
+    k = jax.lax.dynamic_slice_in_dim(cache["k"], src, block, axis=1)  # [L, B, H, hd]
+    v = jax.lax.dynamic_slice_in_dim(cache["v"], src, block, axis=1)
+    delta = (dst - src).astype(jnp.int32)
+    cos, sin = rope_cos_sin(delta[None], cfg.head_dim, cfg.rope_theta)  # [1, hd]
+    l, b, h, hd = k.shape
+    kf = k.reshape(l * b, h, hd)
+    k_rot = apply_rope(kf, jnp.broadcast_to(cos, (l * b, hd)), jnp.broadcast_to(sin, (l * b, hd)))
+    k_rot = k_rot.reshape(l, b, h, hd).astype(cache["k"].dtype)
+    return {
+        "k": jax.lax.dynamic_update_slice(cache["k"], k_rot, (0, dst, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], v, (0, dst, 0, 0)),
+    }
+
+
 def forward_step(
     params: Params,
     cfg: TextDecoderConfig,

@@ -197,12 +197,14 @@ class BatchedEngine:
             ids_list, mask_list, embds = [], [], []
             for i in short_idx:
                 a = audios[i]
+                n_valid = eng.encoder.valid_tokens(len(a))  # real frames only
                 if len(a) < chunk_samples:
                     a = np.pad(a, (0, chunk_samples - len(a)))
                 fut = eng.encoder.encode_async(a)
-                n_audio = eng.encoder.valid_tokens(chunk_samples)
-                embds.append(fut[:n_audio])
-                ids, mask = eng._build_prompt_ids(n_audio, "", context, language)
+                # device slice stays at the fixed full-chunk shape; the mask
+                # gathers only the first n_valid rows (engine.asr semantics)
+                embds.append(fut[: eng.encoder.valid_tokens(chunk_samples)])
+                ids, mask = eng._build_prompt_ids(n_valid, "", context, language)
                 ids_list.append(ids)
                 mask_list.append(mask)
             token_rows = self.gen.generate(

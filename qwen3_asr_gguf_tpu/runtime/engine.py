@@ -127,17 +127,15 @@ class QwenASREngine:
 
     # -- prompt ------------------------------------------------------------
 
-    def _build_prompt_ids(
+    def _prompt_parts(
         self,
-        n_audio: int,
         prefix_text: str,
         context: Optional[str],
         language: Optional[str],
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Assemble the chat-protocol prompt (reference asr.py:80-104) as
-        (token_ids, audio_mask). The audio span carries placeholder ids; the
-        actual embeddings are spliced ON DEVICE (Generator.start_spliced) —
-        the host never materializes embedding rows."""
+    ) -> tuple[list, list]:
+        """Chat-protocol prompt halves around the audio span (reference
+        asr.py:80-104): (header tokens incl. <|audio_start|>, suffix tokens
+        from <|audio_end|> through the carried prefix text)."""
         tk = self.model.tokenize
         prefix_str = f"system\n{context or 'You are a helpful assistant.'}"
         prefix_tokens = (
@@ -151,7 +149,20 @@ class QwenASREngine:
             [self.ID_AUDIO_END, self.ID_IM_END, self.ID_IM_START]
             + tk(suffix_head) + [self.ID_ASR_TEXT] + tk(prefix_text)
         )
+        return prefix_tokens, suffix_tokens
 
+    def _build_prompt_ids(
+        self,
+        n_audio: int,
+        prefix_text: str,
+        context: Optional[str],
+        language: Optional[str],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full prompt as (token_ids, audio_mask). The audio span carries
+        placeholder ids; the actual embeddings are spliced ON DEVICE
+        (Generator.start_spliced) — the host never materializes embedding
+        rows."""
+        prefix_tokens, suffix_tokens = self._prompt_parts(prefix_text, context, language)
         n_pre = len(prefix_tokens)
         total = n_pre + n_audio + len(suffix_tokens)
         ids = np.zeros(total, dtype=np.int32)
@@ -159,6 +170,17 @@ class QwenASREngine:
         ids[n_pre + n_audio :] = suffix_tokens
         audio_mask = np.zeros(total, dtype=bool)
         audio_mask[n_pre : n_pre + n_audio] = True
+        return ids, audio_mask
+
+    @staticmethod
+    def _suffix_prompt_ids(n_audio: int, suffix_tokens: list) -> tuple[np.ndarray, np.ndarray]:
+        """Partial prompt for KV-prefix-reuse prefills: [current-chunk audio
+        placeholders | suffix tokens]; header + memory audio stay in cache."""
+        total = n_audio + len(suffix_tokens)
+        ids = np.zeros(total, dtype=np.int32)
+        ids[n_audio:] = suffix_tokens
+        audio_mask = np.zeros(total, dtype=bool)
+        audio_mask[:n_audio] = True
         return ids, audio_mask
 
     # -- decode ------------------------------------------------------------
@@ -171,16 +193,25 @@ class QwenASREngine:
         rollback_num: int,
         is_last_chunk: bool = False,
         temperature: float = 0.4,
-    ) -> DecodeResult:
+        reuse=None,  # (cache, start): KV prefix reuse for chunks >= 2
+    ) -> tuple[DecodeResult, object]:
         """One chunk generation with rollback + circuit breaker
-        (reference asr.py:106-191)."""
+        (reference asr.py:106-191). Returns (result, final KV cache) so the
+        next chunk can reuse the [header | memory-audio] prefix."""
         result = DecodeResult()
         result.n_prefill = int(ids.shape[0])
 
         t0 = time.time()
-        state = self.generator.start_spliced(
-            ids, audio_mask, audio_embd, temperature=temperature
-        )
+        if reuse is None:
+            state = self.generator.start_spliced(
+                ids, audio_mask, audio_embd, temperature=temperature
+            )
+        else:
+            cache, start = reuse
+            state = self.generator.start_spliced_at(
+                ids, audio_mask, audio_embd, start=start, cache=cache,
+                temperature=temperature,
+            )
         result.t_prefill = time.time() - t0
 
         t1 = time.time()
@@ -228,7 +259,7 @@ class QwenASREngine:
         result.text = stable_text
         result.stable_tokens = stable_tokens
         result.n_generate = n_gen
-        return result
+        return result, state.cache
 
     def _safe_decode(
         self,
@@ -238,18 +269,26 @@ class QwenASREngine:
         rollback_num: int,
         is_last_chunk: bool,
         temperature: float,
-    ) -> DecodeResult:
+        reuse=None,
+    ) -> tuple[DecodeResult, object]:
         """Circuit-breaker retry with temperature escalation (asr.py:193-209)."""
         res = DecodeResult()
+        cache = reuse[0] if reuse is not None else None
         for _ in range(4):
-            res = self._decode(ids, audio_mask, audio_embd, rollback_num, is_last_chunk, temperature)
+            # a retry re-prefills the same span; the reused prefix rows
+            # [0, start) are untouched by the failed attempt
+            r = reuse if reuse is None else (cache, reuse[1])
+            res, cache = self._decode(
+                ids, audio_mask, audio_embd, rollback_num, is_last_chunk,
+                temperature, reuse=r,
+            )
             if not res.is_aborted:
                 break
             temperature += 0.3
             res.text += "====decode aborted: repetition circuit breaker===="
             if self.verbose:
                 print(f"\n\n[!] retrying with temperature {temperature:.1f}\n")
-        return res
+        return res, cache
 
     # -- stats -------------------------------------------------------------
 
@@ -382,6 +421,24 @@ class QwenASREngine:
         if num_chunks:
             send_enc(0)
 
+        # KV prefix reuse state: cache carrying [header | memory-audio] KV
+        # from the previous chunk (exact for chunk 2, see test_prefix_reuse)
+        a_full = self.encoder.valid_tokens(samples_per_chunk)
+        kv_cache = None
+
+        def trim_prefix(prefix_text: str, n_fixed: int) -> str:
+            """Drop the oldest carried-text tokens if prompt + generation
+            headroom would overflow n_ctx (the reference's llama_decode
+            would hard-fail here; n_ctx sizing note reference schema.py:84-86)."""
+            budget = self.config.n_ctx - min(self.config.max_new_tokens, 256)
+            ptoks = self.model.tokenize(prefix_text)
+            overflow = n_fixed + len(ptoks) - budget
+            if overflow <= 0 or not prefix_text:
+                return prefix_text
+            if overflow < len(ptoks):
+                return self.model.decode(ptoks[overflow:]).lstrip("�")
+            return ""
+
         for i in range(num_chunks):
             t_w = time.time()
             send_enc(i + 1)  # prefetch next before blocking on this one
@@ -391,34 +448,55 @@ class QwenASREngine:
             if i >= 1:
                 run_align(i - 1)
 
-            prefix_text = "".join(m[1] for m in memory)
-            combined = (
-                jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
-                if memory
-                else audio_feature
-            )
-            ids, audio_mask = self._build_prompt_ids(
-                int(combined.shape[0]), prefix_text, context, language
-            )
-            # context budget: drop the oldest prefix tokens if prompt +
-            # generation headroom would overflow n_ctx (the reference's
-            # llama_decode would hard-fail here; n_ctx sizing note
-            # reference schema.py:84-86)
-            budget = self.config.n_ctx - min(self.config.max_new_tokens, 256)
-            if len(ids) > budget and prefix_text:
-                overflow = len(ids) - budget
-                ptoks = self.model.tokenize(prefix_text)
-                if overflow < len(ptoks):
-                    prefix_text = self.model.decode(ptoks[overflow:]).lstrip("�")
-                else:
-                    prefix_text = ""
-                ids, audio_mask = self._build_prompt_ids(
-                    int(combined.shape[0]), prefix_text, context, language
-                )
+            # valid encoder tokens of THIS chunk (the final chunk is padded
+            # to 40 s on device, but only its real frames enter the prompt —
+            # reference slices to get_feat_extract_output_lengths, encoder.py:186-189)
+            actual_samples = min(samples_per_chunk, total_len - i * samples_per_chunk)
+            n_valid_cur = self.encoder.valid_tokens(actual_samples)
 
-            res = self._safe_decode(
-                ids, audio_mask, combined, rollback_num, i == num_chunks - 1, temperature
+            prefix_text = "".join(m[1] for m in memory)
+            prefix_tokens, suffix_head = self._prompt_parts("", context, language)
+            n_pre = len(prefix_tokens)
+
+            use_reuse = (
+                self.config.kv_prefix_reuse
+                and memory_chunks == 1
+                and len(memory) == 1
+                and kv_cache is not None
             )
+            is_last = i == num_chunks - 1
+            if use_reuse:
+                start = n_pre + a_full
+                prefix_text = trim_prefix(prefix_text, start + n_valid_cur + len(suffix_head))
+                _, suffix_tokens = self._prompt_parts(prefix_text, context, language)
+                if i >= 2:
+                    # move last chunk's audio KV [start, start+A) down to the
+                    # memory slots [n_pre, n_pre+A), re-basing RoPE
+                    kv_cache = self.generator.rebase_kv(
+                        kv_cache, src=start, dst=n_pre, block=a_full
+                    )
+                ids, audio_mask = self._suffix_prompt_ids(n_valid_cur, suffix_tokens)
+                res, kv_cache = self._safe_decode(
+                    ids, audio_mask, audio_feature, rollback_num, is_last,
+                    temperature, reuse=(kv_cache, start),
+                )
+            else:
+                combined = (
+                    jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
+                    if memory
+                    else audio_feature
+                )
+                n_audio_prompt = a_full * len(memory) + n_valid_cur
+                prefix_text = trim_prefix(
+                    prefix_text, n_pre + n_audio_prompt + len(suffix_head)
+                )
+                _, suffix_tokens = self._prompt_parts(prefix_text, context, language)
+                ids, audio_mask = self._build_prompt_ids(
+                    n_audio_prompt, prefix_text, context, language
+                )
+                res, kv_cache = self._safe_decode(
+                    ids, audio_mask, combined, rollback_num, is_last, temperature
+                )
 
             segments[i].text = res.text
             memory.append((audio_feature, res.text))

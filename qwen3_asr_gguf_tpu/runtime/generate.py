@@ -68,7 +68,9 @@ class Generator:
         self.block = block
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
+        self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
         self._block_jit = self._build_block()
+        self._rebase_jit = self._build_rebase()
 
     # -- jitted programs ---------------------------------------------------
 
@@ -110,6 +112,44 @@ class Generator:
             return cache, tok.astype(jnp.int32), key
 
         return prefill
+
+    def _build_spliced_prefill_at(self) -> Callable:
+        """Suffix prefill on top of a reused cache prefix (KV prefix reuse:
+        the header + memory-audio KV from the previous chunk stay in the
+        cache; only [current audio | suffix tokens] are prefilled)."""
+        cfg = self.cfg
+
+        @partial(
+            jax.jit,
+            static_argnames=("greedy", "prefix_window"),
+            donate_argnames=("cache",),
+        )
+        def prefill(params, ids, audio_mask, audio_embd, start, length, cache, key,
+                    temperature, greedy: bool, prefix_window: int):
+            embd = dec.splice_prompt(params, ids, audio_mask, audio_embd)
+            hidden, cache = dec.forward_prefill_at(
+                params, cfg, embd, cache, start,
+                prefix_window=prefix_window, length=length,
+            )
+            last_hidden = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
+            logits = dec.lm_logits(params, last_hidden, cfg.lm_head_dim)
+            if greedy:
+                tok = sample_greedy(logits)
+            else:
+                key, sub = jax.random.split(key)
+                tok = sample_topk_topp(logits, sub, temperature)
+            return cache, tok.astype(jnp.int32), key
+
+        return prefill
+
+    def _build_rebase(self) -> Callable:
+        cfg = self.cfg
+
+        @partial(jax.jit, static_argnames=("block",), donate_argnames=("cache",))
+        def rebase(cache, src, dst, block: int):
+            return dec.shift_kv_block(cfg, cache, src, dst, block=block)
+
+        return rebase
 
     def _build_block(self) -> Callable:
         cfg = self.cfg
@@ -226,6 +266,55 @@ class Generator:
         done = jnp.any(tok == self.eos_ids)
         return GenState(cache=cache, pos=t, last_token=tok, key=key, done=done)
 
+    def rebase_kv(self, cache, src: int, dst: int, block: int):
+        """Move a KV block (e.g. last chunk's audio) to new positions with
+        RoPE re-basing; returns the updated cache (donated)."""
+        return self._rebase_jit(cache, jnp.int32(src), jnp.int32(dst), block)
+
+    def start_spliced_at(
+        self,
+        ids: np.ndarray,  # [T] int32 suffix ids (0 at audio slots)
+        audio_mask: np.ndarray,  # [T] bool
+        audio_embd: jax.Array,  # [Ta, D] device array
+        *,
+        start: int,  # first position of this suffix (cache[0:start) reused)
+        cache,  # existing cache holding the prefix KV
+        length: int | None = None,
+        temperature: float = 0.4,
+        seed: int | None = None,
+    ) -> GenState:
+        """Suffix prefill with KV prefix reuse. The caller guarantees
+        cache[0:start) holds valid KV for the prompt's first `start`
+        positions (header + rebased memory audio)."""
+        t = int(ids.shape[0]) if length is None else int(length)
+        if start + t > self.n_ctx:
+            raise ValueError(f"prompt of {start + t} tokens exceeds n_ctx={self.n_ctx}")
+        padded_len = min(round_up(max(t, 1), self.bucket), self.n_ctx - start)
+        ids_p = np.zeros(padded_len, dtype=np.int32)
+        mask_p = np.zeros(padded_len, dtype=bool)
+        ids_p[: len(ids)] = ids[:padded_len]
+        mask_p[: len(audio_mask)] = audio_mask[:padded_len]
+        prefix_window = min(round_up(max(start, 1), 64), self.n_ctx)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.key(seed)
+        greedy = temperature <= 0.0
+        cache, tok, key = self._spliced_prefill_at_jit(
+            self.params,
+            jnp.asarray(ids_p),
+            jnp.asarray(mask_p),
+            audio_embd,
+            jnp.int32(start),
+            jnp.int32(t),
+            cache,
+            key,
+            jnp.float32(max(temperature, 1e-6)),
+            greedy,
+            prefix_window,
+        )
+        done = jnp.any(tok == self.eos_ids)
+        return GenState(cache=cache, pos=start + t, last_token=tok, key=key, done=done)
+
     def decode_block(self, state: GenState, temperature: float = 0.4) -> tuple[list[int], GenState, bool]:
         """Run up to `block` steps; returns (emitted_tokens, state, finished).
 
@@ -235,6 +324,11 @@ class Generator:
         greedy = temperature <= 0.0
         if state.pos + self.block > self.n_ctx:
             return [], state, True  # context full
+        # bucket the attention window to the live prefix (multiples of 512):
+        # scanning all n_ctx cache slots per token costs ~235 MB of HBM reads
+        # at 1.7B; a 1300-token prompt only needs the 1536 bucket. Static arg
+        # -> at most n_ctx/512 compiled variants.
+        win = min(self.n_ctx, round_up(state.pos + self.block, 512))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
             state.cache,
@@ -244,7 +338,7 @@ class Generator:
             jnp.float32(max(temperature, 1e-6)),
             state.done,
             greedy,
-            self.n_ctx,
+            win,
         )
         packed = np.asarray(packed)  # ONE device->host fetch per block
         toks = [int(t) for t in packed[:-1] if t >= 0]

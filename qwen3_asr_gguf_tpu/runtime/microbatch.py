@@ -138,12 +138,12 @@ class MicroBatcher:
         ids_list, mask_list, embds = [], [], []
         for p in batch:
             a = p.audio
+            n_valid = eng.encoder.valid_tokens(len(a))  # real frames only
             if len(a) < chunk:
                 a = np.pad(a, (0, chunk - len(a)))
             fut = eng.encoder.encode_async(a)
-            n_audio = eng.encoder.valid_tokens(chunk)
-            embds.append(fut[:n_audio])
-            ids, mask = eng._build_prompt_ids(n_audio, "", p.context, p.language)
+            embds.append(fut[: eng.encoder.valid_tokens(chunk)])
+            ids, mask = eng._build_prompt_ids(n_valid, "", p.context, p.language)
             ids_list.append(ids)
             mask_list.append(mask)
         # pad to the fixed batch width so every call reuses ONE compiled

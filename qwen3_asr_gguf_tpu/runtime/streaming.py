@@ -84,7 +84,7 @@ class StreamingTranscriber:
         ids, mask = self.engine._build_prompt_ids(
             n_audio, prefix, self.context, self.language
         )
-        res = self.engine._safe_decode(
+        res, _ = self.engine._safe_decode(
             ids, mask, embd_padded[:n_audio],
             rollback_num=0, is_last_chunk=True, temperature=self.temperature,
         )

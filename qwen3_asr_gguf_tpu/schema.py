@@ -94,6 +94,10 @@ class ASREngineConfig:
     max_new_tokens: int = 512
     decode_block: int = 64  # device-resident tokens per host round-trip
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
+    # keep [header | memory-audio] KV in the cache across chunks instead of
+    # re-prefilling it (exact for chunk 2; later chunks reuse KV computed
+    # with the prior chunk's context — a cache-reuse approximation)
+    kv_prefix_reuse: bool = True
 
     def __post_init__(self) -> None:
         if self.align_config is None:

@@ -57,6 +57,41 @@ def test_multi_chunk_memory_pipeline(engine):
     assert res.performance["prefill_tokens"] > 0
 
 
+def test_kv_prefix_reuse_matches_full_prefill(engine):
+    """2-chunk greedy transcribe with KV prefix reuse (default) must match
+    the full-reprefill path exactly: chunk 1's audio KV was computed in
+    precisely the context chunk 2's full prompt would recompute it in."""
+    a = _audio(3.5, 550.0)
+    r_reuse = engine.asr(a, context="", language="English",
+                         chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
+    engine.config.kv_prefix_reuse = False
+    try:
+        r_full = engine.asr(a, context="", language="English",
+                            chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
+    finally:
+        engine.config.kv_prefix_reuse = True
+    assert r_reuse.text == r_full.text
+    # reuse must prefill strictly fewer tokens
+    assert r_reuse.performance["prefill_tokens"] < r_full.performance["prefill_tokens"]
+
+
+def test_kv_prefix_reuse_rebase_long_audio(engine):
+    """Chunks >= 3 rebase the previous chunk's audio KV (RoPE shift) —
+    an approximation whose transcript may differ from recompute; it must
+    run end-to-end and keep the prefill savings."""
+    a = _audio(5.5, 660.0)  # 3 chunks
+    r = engine.asr(a, context="", language="English",
+                   chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
+    assert isinstance(r.text, str)
+    engine.config.kv_prefix_reuse = False
+    try:
+        r_full = engine.asr(a, context="", language="English",
+                            chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
+    finally:
+        engine.config.kv_prefix_reuse = True
+    assert r.performance["prefill_tokens"] < r_full.performance["prefill_tokens"]
+
+
 def test_greedy_deterministic(engine):
     a = _audio(1.0, 330.0)
     r1 = engine.asr(a, None, None, chunk_size_sec=2.0, temperature=0.0)
