@@ -306,30 +306,39 @@ def forward_step(
     win = s_max if attn_window is None else min(attn_window, s_max)
     scale = cfg.head_dim ** -0.5
     cos, sin = rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
-    valid = jnp.arange(win, dtype=jnp.int32)[None, :] <= pos  # [1, win]
+    # the window slots are attended strictly below `pos` (slot `pos` may be
+    # stale); the current token's K/V is appended as the last key instead —
+    # the full cache never flows through the layer scan, so the scan only
+    # reads the window and the per-token write is one tiny scatter below
+    valid = jnp.concatenate(
+        [jnp.arange(win, dtype=jnp.int32) < pos, jnp.ones((1,), dtype=bool)]
+    )[None, :]  # [1, win+1]
 
     x = embd[None, :]  # [1, D]
 
     def layer_fn(h, xs):
-        layer, k_cache, v_cache = xs
+        layer, k_win, v_win = xs  # read-only [win, Hkv, hd] views
         attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (pos, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (pos, 0, 0)
-        )
-        attn = _gqa_attention(q, k_cache[:win], v_cache[:win], valid, scale)
+        k_all = jnp.concatenate([k_win.astype(k.dtype), k], axis=0)
+        v_all = jnp.concatenate([v_win.astype(v.dtype), v], axis=0)
+        attn = _gqa_attention(q, k_all, v_all, valid, scale)
         attn = matmul(attn.reshape(1, -1), layer["o_proj"])
         h = h + attn
         mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(layer, mlp_in)
-        return h, (k_cache, v_cache)
+        return h, (k, v)
 
-    hidden, (ks, vs) = jax.lax.scan(layer_fn, x, (params["layers"], cache["k"], cache["v"]))
+    hidden, (ks, vs) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache["k"][:, :win], cache["v"][:, :win])
+    )
+    cache_dtype = cache["k"].dtype
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, pos, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, pos, 0, 0)),
+    }
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    return hidden[0], {"k": ks, "v": vs}
+    return hidden[0], cache
 
 
 def lm_logits(params: Params, hidden: jax.Array, n_out: int | None = None) -> jax.Array:

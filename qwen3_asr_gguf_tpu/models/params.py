@@ -154,10 +154,22 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     int8 rides the MXU's native path at ~2.6x the tokens/s). The converted
     arrays are cached in a `.int8.npz` sidecar so later engine inits skip
     GGUF decode + requant entirely (reference init bar: 3.6 s)."""
-    sidecar = Path(path + ".int8.npz")
+    sidecar_dir = Path(path + ".int8")
+    legacy_npz = Path(path + ".int8.npz")
     src_mtime = Path(path).stat().st_mtime
-    if sidecar.exists() and sidecar.stat().st_mtime >= src_mtime:
-        z = np.load(sidecar)
+
+    def _fresh(p: Path) -> bool:
+        return p.exists() and p.stat().st_mtime >= src_mtime
+
+    if _fresh(sidecar_dir / "final_norm.npy"):
+        # one mmap-able .npy per tensor: jnp.asarray streams straight from
+        # the page cache to the device, no full-RAM decompress pass
+        flat = {
+            f.stem.replace("__", "."): np.load(f, mmap_mode="r")
+            for f in sidecar_dir.glob("*.npy")
+        }
+    elif _fresh(legacy_npz):
+        z = np.load(legacy_npz)
         flat = {k: z[k] for k in z.files}
     else:
         flat: dict[str, np.ndarray] = {}
@@ -174,7 +186,10 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
                     reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
                     for i in range(cfg.num_layers)
                 ])
-        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32)
+        # f16 halves the biggest entry's disk+PCIe bytes; converted to the
+        # compute dtype ON DEVICE (host f32->bf16 casts cost ~10 s at 151k
+        # rows on the 1-core host)
+        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
         flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
         head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
         head = reader.tensor(head_name, dtype=np.float32)
@@ -184,7 +199,9 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
             np.round(head / flat["lm_head.scale"][:, None]), -127, 127
         ).astype(np.int8)
         try:
-            np.savez(sidecar, **flat)
+            sidecar_dir.mkdir(exist_ok=True)
+            for k, v in flat.items():
+                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
         except OSError:
             pass  # read-only model dir: skip caching
 
@@ -197,10 +214,15 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
             )
         else:
             layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+    embed = flat["embed"]
+    # upload in the stored dtype, convert on device (free on the VPU)
+    embed_dev = jnp.asarray(embed)
+    if embed_dev.dtype != dense_dtype:
+        embed_dev = embed_dev.astype(dense_dtype)
     return {
-        "embed": jnp.asarray(flat["embed"], dtype=dense_dtype),
+        "embed": embed_dev,
         "layers": layers,
-        "final_norm": jnp.asarray(flat["final_norm"], dtype=jnp.float32),
+        "final_norm": jnp.asarray(np.ascontiguousarray(flat["final_norm"]), dtype=jnp.float32),
         "lm_head": Int8Weight(
             q=jnp.asarray(flat["lm_head.q"]), scale=jnp.asarray(flat["lm_head.scale"])
         ),

@@ -106,11 +106,25 @@ class QwenASREngine:
         )
 
         # aligner ----------------------------------------------------------
-        self.aligner = None
+        # brought up on a background thread: its host-side GGUF/numpy work
+        # overlaps the decoder's device uploads (reference init bar 3.61 s,
+        # README.md:33; the worker-process bring-up there is also parallel)
+        self._aligner = None
+        self._aligner_thread = None
+        self._aligner_error: Optional[BaseException] = None
         if config.enable_aligner and config.align_config is not None:
-            from .aligner import QwenForcedAligner
+            import threading
 
-            self.aligner = QwenForcedAligner(config.align_config)
+            def _bring_up():
+                try:
+                    from .aligner import QwenForcedAligner
+
+                    self._aligner = QwenForcedAligner(config.align_config)
+                except BaseException as e:  # surfaced on first use
+                    self._aligner_error = e
+
+            self._aligner_thread = threading.Thread(target=_bring_up, daemon=True)
+            self._aligner_thread.start()
 
         # special ids (reference asr.py:67-71)
         self.ID_IM_START = thinker.im_start_token_id
@@ -121,6 +135,16 @@ class QwenASREngine:
         logger.info("engine ready in %.2fs (decoder %dL/%dd, encoder %dL/%dd)",
                     time.time() - t_init, dec_cfg.num_layers, dec_cfg.hidden_size,
                     enc_cfg.encoder_layers, enc_cfg.d_model)
+
+    @property
+    def aligner(self):
+        """Joins the background bring-up on first access."""
+        if self._aligner_thread is not None:
+            self._aligner_thread.join()
+            self._aligner_thread = None
+            if self._aligner_error is not None:
+                raise self._aligner_error
+        return self._aligner
 
     def shutdown(self) -> None:
         """No helper process to stop (API compatibility, asr.py:73-78)."""

@@ -220,4 +220,4 @@ def test_engine_int8_precision_q4k_file(tmp_path):
     engine = QwenASREngine(cfg)
     res = engine.asr(_audio(1.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
     assert isinstance(res.text, str)
-    assert (d / "qwen3_asr_llm.q4_k.gguf.int8.npz").exists()
+    assert (d / "qwen3_asr_llm.q4_k.gguf.int8" / "final_norm.npy").exists()
