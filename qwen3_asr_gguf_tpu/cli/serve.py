@@ -201,8 +201,11 @@ class ASRServer:
             "history": list(self.stats_ring),
         }
         if self.batcher is not None:
-            out["batches"] = self.batcher.n_batches
-            out["batched_requests"] = self.batcher.n_batched_requests
+            if hasattr(self.batcher, "stats"):  # ContinuousBatcher
+                out["batching"] = self.batcher.stats
+            else:  # MicroBatcher
+                out["batches"] = self.batcher.n_batches
+                out["batched_requests"] = self.batcher.n_batched_requests
         return out
 
 
@@ -267,6 +270,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-window", type=float, default=0.05,
                    help="micro-batch gather window seconds (0 disables batching)")
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-mode", choices=["continuous", "micro", "off"],
+                   default="continuous",
+                   help="continuous = per-request admission into free decode "
+                        "rows (vLLM-style); micro = window-coalesced batches")
     args = p.parse_args(argv)
 
     from ..runtime.engine import QwenASREngine
@@ -289,7 +296,11 @@ def main(argv=None) -> int:
         )
     engine = QwenASREngine(cfg)
     batcher = None
-    if args.batch_window > 0 and args.max_batch > 1:
+    if args.max_batch > 1 and args.batch_mode == "continuous":
+        from ..runtime.continuous import ContinuousBatcher
+
+        batcher = ContinuousBatcher(engine, max_batch=args.max_batch)
+    elif args.max_batch > 1 and args.batch_mode == "micro" and args.batch_window > 0:
         from ..runtime.microbatch import MicroBatcher
 
         batcher = MicroBatcher(engine, window_s=args.batch_window, max_batch=args.max_batch)

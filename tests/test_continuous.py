@@ -1,0 +1,102 @@
+"""Continuous batching: per-request admission into free decode rows."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+from qwen3_asr_gguf_tpu.runtime.continuous import ContinuousBatcher
+from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+from qwen3_asr_gguf_tpu.schema import ASREngineConfig
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cb_ckpt")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16")
+    return QwenASREngine(ASREngineConfig(
+        model_dir=str(d), llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=12,
+        decode_block=8,
+    ))
+
+
+def _audio(seconds, freq=440.0):
+    t = np.arange(int(16000 * seconds)) / 16000
+    return (np.sin(2 * np.pi * freq * t) * 0.3).astype(np.float32)
+
+
+def test_concurrent_submits_match_sequential(engine):
+    cb = ContinuousBatcher(engine, max_batch=4, block=4)
+    try:
+        freqs = [330.0, 440.0, 550.0, 660.0, 770.0]
+        audios = [_audio(1.5, f) for f in freqs]
+        results = [None] * len(audios)
+
+        def worker(i):
+            results[i] = cb.submit(audios[i], language="English", temperature=0.0)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(audios))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert cb.stats["completed"] == len(audios)
+        # 5 requests through 4 rows: at least one admission waited for a free row
+        for a, r in zip(audios, results):
+            assert r is not None
+            seq = engine.asr(a, context="", language="English",
+                             chunk_size_sec=2.0, temperature=0.0)
+            assert r.text == seq.text, (r.text, seq.text)
+    finally:
+        cb.close()
+
+
+def test_staggered_admission(engine):
+    """A request arriving mid-decode joins a free row without waiting for
+    the running generation to finish."""
+    cb = ContinuousBatcher(engine, max_batch=2, block=4)
+    try:
+        out = {}
+
+        def first():
+            out["a"] = cb.submit(_audio(1.8, 330.0), language="English", temperature=0.0)
+
+        def second():
+            time.sleep(0.3)  # arrive while the first is decoding
+            out["b"] = cb.submit(_audio(1.0, 990.0), language="English", temperature=0.0)
+
+        t1, t2 = threading.Thread(target=first), threading.Thread(target=second)
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+        assert "a" in out and "b" in out
+        assert isinstance(out["a"].text, str) and isinstance(out["b"].text, str)
+        assert cb.stats["completed"] == 2
+    finally:
+        cb.close()
+
+
+def test_mixed_temperatures_one_batch(engine):
+    """Per-row sampling: greedy and sampled requests share the batch."""
+    cb = ContinuousBatcher(engine, max_batch=4, block=4)
+    try:
+        outs = {}
+
+        def run(name, temp):
+            outs[name] = cb.submit(_audio(1.2, 440.0), language="English", temperature=temp)
+
+        threads = [
+            threading.Thread(target=run, args=("g", 0.0)),
+            threading.Thread(target=run, args=("s", 0.8)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        seq = engine.asr(_audio(1.2, 440.0), context="", language="English",
+                         chunk_size_sec=2.0, temperature=0.0)
+        assert outs["g"].text == seq.text  # greedy row unaffected by sampled row
+    finally:
+        cb.close()
