@@ -90,11 +90,13 @@ class QwenForcedAligner:
             validate_language(language)
         t_start = time.time()
 
-        # embeddings stay on device; only their count is needed host-side
+        # embeddings stay on device; only their count is needed host-side.
+        # The full bucket-shaped array is passed through (the audio span
+        # mask picks the n_audio valid rows), so align prefill compiles per
+        # (mel bucket, prompt bucket) pair, not per audio length.
         t_enc0 = time.time()
-        embd_padded = self.encoder.encode_async(audio)
+        audio_embd = self.encoder.encode_async(audio)
         n_audio = self.encoder.valid_tokens(int(audio.shape[-1]))
-        audio_embd = embd_padded[:n_audio]
         t_enc = time.time() - t_enc0  # dispatch time; device overlaps decode build
 
         ko_scores = self._korean_scores() if (language or "").lower() == "korean" else None

@@ -87,10 +87,20 @@ class EncoderRunner:
 
         # variable-length path: exact host mel, bucket-padded device encoder
         mel = log_mel_np(audio, self.frontend.filters)  # [128, frames]
-        pad_frames = (-frames) % self.bucket_frames
-        mel_padded = np.pad(mel, ((0, 0), (0, pad_frames)))
+        bucket = self.mel_bucket(frames)
+        mel_padded = np.pad(mel, ((0, 0), (0, bucket - frames)))
         valid = enc.get_feat_extract_output_lengths(frames, self.cfg.n_window)
         return self._encode_mel(self.params, jnp.asarray(mel_padded), jnp.int32(valid))
+
+    def mel_bucket(self, frames: int) -> int:
+        """Frame bucket for variable-length inputs: linear 5 s steps up to
+        30 s, then geometric doubling — an unbounded streaming session
+        compiles O(log T) encoder shapes, not one per 5 s of accumulation
+        (padded keys are masked, so longer buckets only waste compute)."""
+        b = self.bucket_frames
+        while b < frames:
+            b = b + self.bucket_frames if b < 3000 else b * 2
+        return b
 
     def valid_tokens(self, audio_len: int) -> int:
         return enc.get_feat_extract_output_lengths(audio_len // HOP, self.cfg.n_window)

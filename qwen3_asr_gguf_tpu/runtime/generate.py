@@ -47,6 +47,18 @@ def round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def prompt_bucket(t: int) -> int:
+    """Prompt-length bucket: fine steps for short prompts, coarser for long
+    ones, so an unbounded streaming session compiles O(log T) prefill
+    shapes instead of one per 128 tokens (padded rows are masked, so the
+    only cost is <=1 bucket step of wasted prefill compute)."""
+    if t <= 768:
+        return round_up(max(t, 1), 128)
+    if t <= 1536:
+        return round_up(t, 256)
+    return round_up(t, 512)
+
+
 class Generator:
     def __init__(
         self,
@@ -202,7 +214,7 @@ class Generator:
         t = embd.shape[0]
         if t > self.n_ctx:
             raise ValueError(f"prompt of {t} tokens exceeds n_ctx={self.n_ctx}")
-        padded_len = min(round_up(t, self.bucket), self.n_ctx)
+        padded_len = min(prompt_bucket(t), self.n_ctx)
         pad = padded_len - t
         if pad:
             embd = np.concatenate([embd, np.zeros((pad, embd.shape[1]), embd.dtype)], axis=0)
@@ -242,7 +254,7 @@ class Generator:
         t = int(ids.shape[0]) if length is None else int(length)
         if t > self.n_ctx:
             raise ValueError(f"prompt of {t} tokens exceeds n_ctx={self.n_ctx}")
-        padded_len = min(round_up(max(t, 1), self.bucket), self.n_ctx)
+        padded_len = min(prompt_bucket(t), self.n_ctx)
         ids_p = np.zeros(padded_len, dtype=np.int32)
         mask_p = np.zeros(padded_len, dtype=bool)
         ids_p[: len(ids)] = ids[:padded_len]
@@ -289,7 +301,7 @@ class Generator:
         t = int(ids.shape[0]) if length is None else int(length)
         if start + t > self.n_ctx:
             raise ValueError(f"prompt of {start + t} tokens exceeds n_ctx={self.n_ctx}")
-        padded_len = min(round_up(max(t, 1), self.bucket), self.n_ctx - start)
+        padded_len = min(prompt_bucket(t), self.n_ctx - start)
         ids_p = np.zeros(padded_len, dtype=np.int32)
         mask_p = np.zeros(padded_len, dtype=bool)
         ids_p[: len(ids)] = ids[:padded_len]
@@ -390,7 +402,7 @@ class SparseLogitsRunner:
 
     def logits_at(self, embd: np.ndarray, positions: np.ndarray) -> np.ndarray:
         t = embd.shape[0]
-        padded_len = round_up(t, self.bucket)
+        padded_len = prompt_bucket(t)
         pad = padded_len - t
         if pad:
             embd = np.concatenate([embd, np.zeros((pad, embd.shape[1]), embd.dtype)], axis=0)
@@ -411,7 +423,7 @@ class SparseLogitsRunner:
         logits per position, aligner.py:317-323 — on TPU that transfer is
         the bottleneck, the argmax is free)."""
         t = len(ids)
-        padded_len = round_up(t, self.bucket)
+        padded_len = prompt_bucket(t)
         ids_p = np.zeros(padded_len, dtype=np.int32)
         ids_p[:t] = ids
         mask_p = np.zeros(padded_len, dtype=bool)

