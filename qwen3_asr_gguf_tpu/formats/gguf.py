@@ -234,6 +234,16 @@ class GGUFWriter:
             payload = data
         self._tensors.append((name, tuple(data.shape), ggml_type, np.ascontiguousarray(payload)))
 
+    def add_raw_tensor(
+        self, name: str, payload: np.ndarray, shape: tuple[int, ...], ggml_type: int
+    ) -> None:
+        """Pass an already-encoded tensor payload through unchanged, keeping
+        its logical shape (metadata-editing tools rewrite files without
+        touching tensor bytes)."""
+        self._tensors.append(
+            (name, tuple(shape), ggml_type, np.ascontiguousarray(payload).view(np.uint8))
+        )
+
     # -- serialization ------------------------------------------------------
 
     @staticmethod

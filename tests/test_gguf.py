@@ -87,3 +87,61 @@ def test_reference_reader_can_parse_our_file(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(t.data), norm)
     finally:
         sys.path.remove(str(REF_GGUF))
+
+
+# -- tooling CLI (reference gguf/scripts analogues) --------------------------
+
+
+def test_cli_set_metadata_preserves_tensors(tmp_path, rng):
+    from qwen3_asr_gguf_tpu.formats.__main__ import main
+
+    src = tmp_path / "m.gguf"
+    out = tmp_path / "m2.gguf"
+    _write_sample(src, rng)
+    rc = main(["set-metadata", str(src), str(out),
+               "--set", "general.name=renamed",
+               "--set", "qwen3vl.block_count=7"])
+    assert rc == 0
+    r1, r2 = GGUFReader(str(src)), GGUFReader(str(out))
+    assert r2.kv["general.name"] == "renamed"
+    assert r2.kv["qwen3vl.block_count"] == 7
+    # tensor payloads are passed through bit-identically
+    for name in r1.tensors:
+        assert bytes(r1.tensor_bytes(name)) == bytes(r2.tensor_bytes(name))
+        assert r1.tensors[name].shape == r2.tensors[name].shape
+        assert r1.tensors[name].ggml_type == r2.tensors[name].ggml_type
+
+
+def test_cli_new_metadata_add_remove(tmp_path, rng):
+    from qwen3_asr_gguf_tpu.formats.__main__ import main
+
+    src = tmp_path / "m.gguf"
+    out = tmp_path / "m2.gguf"
+    _write_sample(src, rng)
+    rc = main(["new-metadata", str(src), str(out),
+               "--set", "custom.flag=true", "--remove", "qwen3vl.rope.freq_base"])
+    assert rc == 0
+    r2 = GGUFReader(str(out))
+    assert r2.kv["custom.flag"] is True
+    assert "qwen3vl.rope.freq_base" not in r2.kv
+
+
+def test_cli_hash_stable(tmp_path, rng, capsys):
+    from qwen3_asr_gguf_tpu.formats.__main__ import main
+
+    src = tmp_path / "m.gguf"
+    _write_sample(src, rng)
+    assert main(["hash", str(src), "--no-tensors"]) == 0
+    h1 = capsys.readouterr().out.strip().split()[1]
+    assert main(["hash", str(src), "--no-tensors"]) == 0
+    h2 = capsys.readouterr().out.strip().split()[1]
+    assert h1 == h2 and len(h1) == 64
+
+
+def test_cli_endian_report(tmp_path, rng, capsys):
+    from qwen3_asr_gguf_tpu.formats.__main__ import main
+
+    src = tmp_path / "m.gguf"
+    _write_sample(src, rng)
+    assert main(["endian", str(src)]) == 0
+    assert "little-endian" in capsys.readouterr().out
