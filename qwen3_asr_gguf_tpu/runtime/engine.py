@@ -445,6 +445,22 @@ class QwenASREngine:
         if num_chunks:
             send_enc(0)
 
+        # align(i-1) runs on a worker thread, overlapping decode(i) — the
+        # reference's helper-process overlap (asr.py:350-393 / asr_worker.py).
+        # One worker preserves order: align(i) reads align(i-1)'s items for
+        # its overlap-aware offset (asr.py:322-348).
+        from concurrent.futures import ThreadPoolExecutor
+
+        # checking the private fields avoids joining the background aligner
+        # bring-up here — the worker thread joins it on first use instead
+        has_aligner = self._aligner is not None or self._aligner_thread is not None
+        align_pool = ThreadPoolExecutor(max_workers=1) if has_aligner else None
+        align_futs: List = []
+
+        def submit_align(idx: int) -> None:
+            if align_pool is not None and 0 <= idx < num_chunks:
+                align_futs.append(align_pool.submit(run_align, idx))
+
         # KV prefix reuse state: cache carrying [header | memory-audio] KV
         # from the previous chunk (exact for chunk 2, see test_prefix_reuse)
         a_full = self.encoder.valid_tokens(samples_per_chunk)
@@ -470,7 +486,7 @@ class QwenASREngine:
             stats["wait_time"] += time.time() - t_w
 
             if i >= 1:
-                run_align(i - 1)
+                submit_align(i - 1)
 
             # valid encoder tokens of THIS chunk (the final chunk is padded
             # to 40 s on device, but only its real frames enter the prompt —
@@ -531,7 +547,11 @@ class QwenASREngine:
             stats["decode_time"] += res.t_generate
 
         if num_chunks >= 1:
-            run_align(num_chunks - 1)
+            submit_align(num_chunks - 1)
+        if align_pool is not None:
+            for f in align_futs:
+                f.result()  # surface worker exceptions
+            align_pool.shutdown()
 
         aligned_items.sort(key=lambda x: x.start_time)
         t_total = time.time() - t_main

@@ -57,16 +57,16 @@ def main() -> None:
     cache_a = dec.init_cache(cfg, 2048)
 
     @jax.jit
-    def step_a(embd, cache, pos):
-        h, cache = dec.forward_step(dp, cfg, embd, cache, pos, attn_window=WIN)
-        return dec.lm_logits(dp, h, cfg.lm_head_dim)[:8], cache
+    def step_a(params, embd, cache, pos):
+        h, cache = dec.forward_step(params, cfg, embd, cache, pos, attn_window=WIN)
+        return dec.lm_logits(params, h, cfg.lm_head_dim)[:8], cache
 
     # ---- D: unrolled, per-layer cache -------------------------------------
     ks_d = [jnp.zeros((2048, 8, 128), jnp.bfloat16) for _ in range(L)]
     vs_d = [jnp.zeros((2048, 8, 128), jnp.bfloat16) for _ in range(L)]
 
     @jax.jit
-    def step_d(embd, ks, vs, pos):
+    def step_d(layer_list, lm_head, final_norm, embd, ks, vs, pos):
         scale = cfg.head_dim ** -0.5
         cos, sin = dec.rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
         valid = jnp.concatenate(
@@ -85,8 +85,8 @@ def main() -> None:
             h = h + dec._mlp(layer, mlp_in)
             new_ks.append(k)
             new_vs.append(v)
-        h = dec.rms_norm(h, dp["final_norm"], cfg.rms_norm_eps)
-        return matmul(h, dp["lm_head"])[:, :8], new_ks, new_vs
+        h = dec.rms_norm(h, final_norm, cfg.rms_norm_eps)
+        return matmul(h, lm_head)[:, :8], new_ks, new_vs
 
     # ---- E: D with int8 KV -------------------------------------------------
     ks_e = [jnp.zeros((2048, 8, 128), jnp.int8) for _ in range(L)]
@@ -95,7 +95,7 @@ def main() -> None:
     vsc = [jnp.ones((2048, 8), jnp.float32) for _ in range(L)]
 
     @jax.jit
-    def step_e(embd, ks, vs, kscale, vscale, pos):
+    def step_e(layer_list, lm_head, final_norm, embd, ks, vs, kscale, vscale, pos):
         scale = cfg.head_dim ** -0.5
         cos, sin = dec.rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
         valid = jnp.concatenate(
@@ -115,23 +115,23 @@ def main() -> None:
             h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
             mlp_in = dec.rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
             h = h + dec._mlp(layer, mlp_in)
-        h = dec.rms_norm(h, dp["final_norm"], cfg.rms_norm_eps)
-        return matmul(h, dp["lm_head"])[:, :8]
+        h = dec.rms_norm(h, final_norm, cfg.rms_norm_eps)
+        return matmul(h, lm_head)[:, :8]
 
     def sync(x):
         return float(np.asarray(x).ravel()[0])
 
     def run_a():
         nonlocal cache_a
-        out, cache_a = step_a(embd, cache_a, pos)
+        out, cache_a = step_a(dp, embd, cache_a, pos)
         return out
 
     def run_d():
-        out, _, _ = step_d(embd, ks_d, vs_d, pos)
+        out, _, _ = step_d(layer_list, dp["lm_head"], dp["final_norm"], embd, ks_d, vs_d, pos)
         return out
 
     def run_e():
-        return step_e(embd, ks_e, vs_e, ksc, vsc, pos)
+        return step_e(layer_list, dp["lm_head"], dp["final_norm"], embd, ks_e, vs_e, ksc, vsc, pos)
 
     variants = [("A scan", run_a), ("D unrolled", run_d), ("E unrolled+int8kv", run_e)]
     # warm compile
