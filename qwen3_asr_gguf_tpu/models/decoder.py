@@ -112,9 +112,19 @@ def init_params(cfg: TextDecoderConfig, key: jax.Array, dtype=jnp.float32) -> Pa
     }
 
 
-def init_cache(cfg: TextDecoderConfig, max_len: int, dtype=jnp.bfloat16) -> dict[str, jax.Array]:
-    shape = (cfg.num_layers, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+def init_cache(cfg: TextDecoderConfig, max_len: int, dtype=jnp.bfloat16) -> dict[str, list]:
+    """KV cache as PER-LAYER arrays [max_len, H_kv, hd].
+
+    One stacked [L, S, H, hd] array forces every per-layer access in the
+    decode step through a slice that XLA materializes before the attention
+    matmuls — measured at ~+1.4 ms/tok at 1.7B. Separate per-layer buffers
+    make the decode step's reads zero-copy; prefill pays a negligible
+    per-layer scatter instead."""
+    shape = (max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+        "v": [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+    }
 
 
 # --------------------------------------------------------------------------
@@ -191,13 +201,24 @@ def forward_prefill(
 
     hidden, (ks, vs) = jax.lax.scan(layer_fn, embd, params["layers"])
     if cache is not None:
-        cache_dtype = cache["k"].dtype
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, 0, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, 0, 0, 0)),
-        }
+        cache = _write_cache(cache, ks, vs, 0)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, cache
+
+
+def _write_cache(cache: dict[str, list], ks: jax.Array, vs: jax.Array, start) -> dict[str, list]:
+    """Scatter stacked [L, T, H, hd] new K/V into the per-layer cache."""
+    dt = cache["k"][0].dtype
+    return {
+        "k": [
+            jax.lax.dynamic_update_slice(c, ks[l].astype(dt), (start, 0, 0))
+            for l, c in enumerate(cache["k"])
+        ],
+        "v": [
+            jax.lax.dynamic_update_slice(c, vs[l].astype(dt), (start, 0, 0))
+            for l, c in enumerate(cache["v"])
+        ],
+    }
 
 
 def forward_prefill_at(
@@ -244,16 +265,12 @@ def forward_prefill_at(
         h = h + _mlp(layer, mlp_in)
         return h, (k, v)
 
+    k_prefix = jnp.stack([c[:prefix_window] for c in cache["k"]])
+    v_prefix = jnp.stack([c[:prefix_window] for c in cache["v"]])
     hidden, (ks, vs) = jax.lax.scan(
-        layer_fn,
-        embd,
-        (params["layers"], cache["k"][:, :prefix_window], cache["v"][:, :prefix_window]),
+        layer_fn, embd, (params["layers"], k_prefix, v_prefix)
     )
-    cache_dtype = cache["k"].dtype
-    cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, start, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, start, 0, 0)),
-    }
+    cache = _write_cache(cache, ks, vs, start)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, cache
 
@@ -272,18 +289,20 @@ def shift_kv_block(
     (dst - src) makes the block valid at its new slots (values are
     position-independent). Used to turn chunk i's current-audio KV into
     chunk i+1's memory-audio KV without re-prefilling it."""
-    k = jax.lax.dynamic_slice_in_dim(cache["k"], src, block, axis=1)  # [L, B, H, hd]
-    v = jax.lax.dynamic_slice_in_dim(cache["v"], src, block, axis=1)
     delta = (dst - src).astype(jnp.int32)
     cos, sin = rope_cos_sin(delta[None], cfg.head_dim, cfg.rope_theta)  # [1, hd]
-    l, b, h, hd = k.shape
-    kf = k.reshape(l * b, h, hd)
-    k_rot = apply_rope(kf, jnp.broadcast_to(cos, (l * b, hd)), jnp.broadcast_to(sin, (l * b, hd)))
-    k_rot = k_rot.reshape(l, b, h, hd).astype(cache["k"].dtype)
-    return {
-        "k": jax.lax.dynamic_update_slice(cache["k"], k_rot, (0, dst, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], v, (0, dst, 0, 0)),
-    }
+    dt = cache["k"][0].dtype
+    new_k, new_v = [], []
+    for k_c, v_c in zip(cache["k"], cache["v"]):
+        k = jax.lax.dynamic_slice_in_dim(k_c, src, block, axis=0)  # [B, H, hd]
+        v = jax.lax.dynamic_slice_in_dim(v_c, src, block, axis=0)
+        b, h, hd = k.shape
+        k_rot = apply_rope(
+            k, jnp.broadcast_to(cos, (b, hd)), jnp.broadcast_to(sin, (b, hd))
+        ).astype(dt)
+        new_k.append(jax.lax.dynamic_update_slice(k_c, k_rot, (dst, 0, 0)))
+        new_v.append(jax.lax.dynamic_update_slice(v_c, v, (dst, 0, 0)))
+    return {"k": new_k, "v": new_v}
 
 
 def forward_step(
@@ -297,48 +316,74 @@ def forward_step(
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """One decode step; writes K/V at `pos`, attends to cache[0..pos].
 
-    `attn_window` (static, >= pos+1 for every step of the enclosing block)
-    limits the attention read to the cache prefix — a 2048-slot cache costs
-    ~235 MB/token to scan at 1.7B; bucketing to the live prefix trims the
-    decode's HBM traffic.
+    Thin wrapper over `forward_step_layers` (unstacks the layer weights at
+    trace time — use the pre-unstacked list in hot paths).
     """
-    s_max = cache["k"].shape[1]
+    layer_list = unstack_layers(params["layers"], cfg.num_layers)
+    return forward_step_layers(
+        layer_list, params["final_norm"], cfg, embd, cache, pos,
+        attn_window=attn_window,
+    )
+
+
+def unstack_layers(layers: Params, num_layers: int) -> list[Params]:
+    """Per-layer weight dicts sliced out of the stacked arrays (device-side,
+    one-time). The single-token decode step runs UNROLLED over these: a
+    `lax.scan` over stacked weights materializes a copy of every per-layer
+    slice it feeds to a matmul, roughly doubling decode HBM traffic
+    (measured: 5.4 -> 4.05 ms/tok at 1.7B int8 on v5e)."""
+    return [jax.tree.map(lambda a: a[l], layers) for l in range(num_layers)]
+
+
+def forward_step_layers(
+    layer_list: list[Params],
+    final_norm: jax.Array,
+    cfg: TextDecoderConfig,
+    embd: jax.Array,  # [D] single-token embedding
+    cache: dict[str, jax.Array],
+    pos: jax.Array,
+    *,
+    attn_window: int | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Unrolled decode step (same math as forward_step; see unstack_layers).
+
+    Per-layer cache arrays + one scatter per layer for the new K/V keep
+    the per-token cache traffic at exactly one window read (a stacked
+    [L, S, H, hd] cache costs ~+1.4 ms/tok in slice materialization)."""
+    s_max = cache["k"][0].shape[0]
     win = s_max if attn_window is None else min(attn_window, s_max)
     scale = cfg.head_dim ** -0.5
     cos, sin = rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
-    # the window slots are attended strictly below `pos` (slot `pos` may be
-    # stale); the current token's K/V is appended as the last key instead —
-    # the full cache never flows through the layer scan, so the scan only
-    # reads the window and the per-token write is one tiny scatter below
     valid = jnp.concatenate(
         [jnp.arange(win, dtype=jnp.int32) < pos, jnp.ones((1,), dtype=bool)]
-    )[None, :]  # [1, win+1]
+    )[None, :]
 
-    x = embd[None, :]  # [1, D]
-
-    def layer_fn(h, xs):
-        layer, k_win, v_win = xs  # read-only [win, Hkv, hd] views
+    h = embd[None, :]
+    new_ks, new_vs = [], []
+    for l, layer in enumerate(layer_list):
         attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
-        k_all = jnp.concatenate([k_win.astype(k.dtype), k], axis=0)
-        v_all = jnp.concatenate([v_win.astype(v.dtype), v], axis=0)
+        k_all = jnp.concatenate([cache["k"][l][:win].astype(k.dtype), k], axis=0)
+        v_all = jnp.concatenate([cache["v"][l][:win].astype(v.dtype), v], axis=0)
         attn = _gqa_attention(q, k_all, v_all, valid, scale)
-        attn = matmul(attn.reshape(1, -1), layer["o_proj"])
-        h = h + attn
+        h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
         mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(layer, mlp_in)
-        return h, (k, v)
-
-    hidden, (ks, vs) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache["k"][:, :win], cache["v"][:, :win])
-    )
-    cache_dtype = cache["k"].dtype
+        new_ks.append(k)
+        new_vs.append(v)
+    dt = cache["k"][0].dtype
     cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache_dtype), (0, pos, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache_dtype), (0, pos, 0, 0)),
+        "k": [
+            jax.lax.dynamic_update_slice(c, new_ks[l].astype(dt), (pos, 0, 0))
+            for l, c in enumerate(cache["k"])
+        ],
+        "v": [
+            jax.lax.dynamic_update_slice(c, new_vs[l].astype(dt), (pos, 0, 0))
+            for l, c in enumerate(cache["v"])
+        ],
     }
-    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    return hidden[0], cache
+    h = rms_norm(h, final_norm, cfg.rms_norm_eps)
+    return h[0], cache
 
 
 def lm_logits(params: Params, hidden: jax.Array, n_out: int | None = None) -> jax.Array:

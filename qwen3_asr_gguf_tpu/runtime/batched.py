@@ -42,6 +42,11 @@ class BatchedGenerator:
         self.cache_dtype = cache_dtype
         self.eos_ids = jnp.asarray(list(eos_ids), dtype=jnp.int32)
         eos = self.eos_ids
+        # pre-unstacked per-layer weights for the unrolled decode step
+        # (decoder.unstack_layers: scan/slice over stacked weights copies)
+        self.layers_list = jax.jit(
+            lambda ls: dec.unstack_layers(ls, cfg.num_layers)
+        )(params["layers"])
 
         def prefill_one(params, ids, mask, audio, length, cache, key, temperature, greedy: bool):
             embd = dec.splice_prompt(params, ids, mask, audio)
@@ -61,9 +66,11 @@ class BatchedGenerator:
                 lambda i, m, a, l, c, k: prefill_one(params, i, m, a, l, c, k, temperature, greedy)
             )(ids, masks, audio, lengths, caches, keys)
 
-        def step_one(params, cache, pos, tok, key, done, temperature, greedy: bool):
+        def step_one(params, layers_list, cache, pos, tok, key, done, temperature, greedy: bool):
             embd = dec.embed_tokens(params, tok)
-            hidden, cache = dec.forward_step(params, cfg, embd, cache, pos)
+            hidden, cache = dec.forward_step_layers(
+                layers_list, params["final_norm"], cfg, embd, cache, pos
+            )
             logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
             if greedy:
                 nxt = sample_greedy(logits).astype(jnp.int32)
@@ -78,11 +85,14 @@ class BatchedGenerator:
         block_n = block
 
         @partial(jax.jit, static_argnames=("greedy",), donate_argnames=("caches",))
-        def decode_block_batch(params, caches, poss, toks, keys, dones, temperature, greedy: bool):
+        def decode_block_batch(params, layers_list, caches, poss, toks, keys, dones,
+                               temperature, greedy: bool):
             def scan_body(carry, _):
                 caches, poss, toks, keys, dones = carry
                 caches, poss, toks, keys, dones, emitted = jax.vmap(
-                    lambda c, p, t, k, d: step_one(params, c, p, t, k, d, temperature, greedy)
+                    lambda c, p, t, k, d: step_one(
+                        params, layers_list, c, p, t, k, d, temperature, greedy
+                    )
                 )(caches, poss, toks, keys, dones)
                 return (caches, poss, toks, keys, dones), emitted
 
@@ -146,7 +156,7 @@ class BatchedGenerator:
             if int(np.max(np.asarray(poss))) + self.block > self.n_ctx:
                 break
             caches, poss, toks, keys, dones, packed = self._decode(
-                self.params, caches, poss, toks, keys, dones,
+                self.params, self.layers_list, caches, poss, toks, keys, dones,
                 jnp.float32(max(temperature, 1e-6)), greedy,
             )
             packed = np.asarray(packed)  # one fetch per block

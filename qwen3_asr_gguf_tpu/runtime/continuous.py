@@ -67,6 +67,7 @@ class ContinuousBatcher:
         self.max_new_tokens = max_new_tokens or engine.config.max_new_tokens
         self.eos_ids = jnp.asarray(list(engine.thinker.eos_token_ids), dtype=jnp.int32)
         self.chunk_samples = int(engine.config.chunk_size * SAMPLE_RATE)
+        self.layers_list = engine.generator.layers_list  # pre-unstacked weights
 
         self._build_programs()
 
@@ -120,10 +121,11 @@ class ContinuousBatcher:
             )
             return caches, tok, key
 
-        def step_one(params, cache, pos, tok, key, done, temp, greedy, attn_window):
+        def step_one(params, layers_list, cache, pos, tok, key, done, temp, greedy, attn_window):
             embd = dec.embed_tokens(params, tok)
-            hidden, cache = dec.forward_step(
-                params, cfg, embd, cache, pos, attn_window=attn_window
+            hidden, cache = dec.forward_step_layers(
+                layers_list, params["final_norm"], cfg, embd, cache, pos,
+                attn_window=attn_window,
             )
             logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
             key, sub = jax.random.split(key)
@@ -138,13 +140,13 @@ class ContinuousBatcher:
             return cache, pos + 1, nxt, key, nxt_done, emitted
 
         @partial(jax.jit, static_argnames=("attn_window",), donate_argnames=("caches",))
-        def decode_block(params, caches, poss, toks, keys, dones, temps, greedys,
-                         attn_window: int):
+        def decode_block(params, layers_list, caches, poss, toks, keys, dones, temps,
+                         greedys, attn_window: int):
             def scan_body(carry, _):
                 caches, poss, toks, keys, dones = carry
                 caches, poss, toks, keys, dones, emitted = jax.vmap(
                     lambda c, p, t, k, d, tmp, g: step_one(
-                        params, c, p, t, k, d, tmp, g, attn_window
+                        params, layers_list, c, p, t, k, d, tmp, g, attn_window
                     )
                 )(caches, poss, toks, keys, dones, temps, greedys)
                 return (caches, poss, toks, keys, dones), emitted
@@ -299,9 +301,9 @@ class ContinuousBatcher:
                 round_up(int(max(self.poss[i] for i in active)) + self.block, 256),
             )
             self.caches, self.toks, self.keys, packed = self._decode_block(
-                self.params, self.caches, jnp.asarray(self.poss), self.toks,
-                self.keys, jnp.asarray(self.dones), jnp.asarray(self.temps),
-                jnp.asarray(self.greedy), win,
+                self.params, self.layers_list, self.caches, jnp.asarray(self.poss),
+                self.toks, self.keys, jnp.asarray(self.dones),
+                jnp.asarray(self.temps), jnp.asarray(self.greedy), win,
             )
             packed = np.asarray(packed)  # ONE fetch per block
             for i in active:

@@ -78,6 +78,12 @@ class Generator:
         self.cache_dtype = cache_dtype
         self.bucket = bucket
         self.block = block
+        # unstacked per-layer weights for the UNROLLED decode step (a scan
+        # over stacked weights copies every slice it feeds to a matmul —
+        # decoder.unstack_layers). ~2x weight HBM, bought back in tok/s.
+        self.layers_list = jax.jit(
+            lambda ls: dec.unstack_layers(ls, cfg.num_layers)
+        )(params["layers"])
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
         self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
@@ -169,13 +175,14 @@ class Generator:
         block = self.block
 
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
-        def decode_block(params, cache, pos0, tok0, key, temperature, done0,
+        def decode_block(params, layers_list, cache, pos0, tok0, key, temperature, done0,
                          greedy: bool, attn_window: int):
             def step(carry, _):
                 cache, pos, tok, key, done = carry
                 embd = dec.embed_tokens(params, tok)
-                hidden, cache = dec.forward_step(
-                    params, cfg, embd, cache, pos, attn_window=attn_window
+                hidden, cache = dec.forward_step_layers(
+                    layers_list, params["final_norm"], cfg, embd, cache, pos,
+                    attn_window=attn_window,
                 )
                 logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:
@@ -343,6 +350,7 @@ class Generator:
         win = min(self.n_ctx, round_up(state.pos + self.block, 512))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
+            self.layers_list,
             state.cache,
             jnp.int32(state.pos),
             state.last_token,

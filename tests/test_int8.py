@@ -69,14 +69,14 @@ def test_loader_int8_precision(tmp_path, rng):
 
 
 def test_int8_sidecar_cache(tmp_path, rng):
-    """Second load must come from the .int8.npz sidecar, bit-identically."""
+    """Second load must come from the .int8 sidecar dir, bit-identically."""
     params = dec.init_params(QCFG, jax.random.key(3))
     tok = build_synthetic_tokenizer(QCFG.vocab_size)
     path = tmp_path / "m.gguf"
     P.save_decoder_gguf(str(path), QCFG, params, tok, quant="q4_k")
 
     _, p1, _ = P.load_decoder_gguf(str(path), precision="int8")
-    sidecar = tmp_path / "m.gguf.int8.npz"
+    sidecar = tmp_path / "m.gguf.int8" / "final_norm.npy"
     assert sidecar.exists()
     _, p2, _ = P.load_decoder_gguf(str(path), precision="int8")
     np.testing.assert_array_equal(

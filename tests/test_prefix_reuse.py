@@ -41,12 +41,13 @@ def test_forward_prefill_at_matches_full_prefill(rng):
     np.testing.assert_allclose(
         np.asarray(h_suf), np.asarray(h_full[n_prefix:]), atol=1e-5, rtol=1e-4
     )
-    np.testing.assert_allclose(
-        np.asarray(cache["k"][:, :t]), np.asarray(cache_full["k"][:, :t]), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(cache["v"][:, :t]), np.asarray(cache_full["v"][:, :t]), atol=1e-5
-    )
+    for l in range(CFG.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(cache["k"][l][:t]), np.asarray(cache_full["k"][l][:t]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache["v"][l][:t]), np.asarray(cache_full["v"][l][:t]), atol=1e-5
+        )
 
 
 def test_forward_prefill_at_respects_length_padding(rng):
@@ -86,18 +87,19 @@ def test_shift_kv_block_rebases_rope(rng):
     cache = dec.init_cache(CFG, n_ctx, dtype=jnp.float32)
     k_at_src = rot(raw_k, np.arange(src, src + block))
     cache = {
-        "k": cache["k"].at[:, src : src + block].set(k_at_src),
-        "v": cache["v"].at[:, src : src + block].set(jnp.asarray(raw_v)),
+        "k": [c.at[src : src + block].set(k_at_src[l]) for l, c in enumerate(cache["k"])],
+        "v": [c.at[src : src + block].set(jnp.asarray(raw_v[l])) for l, c in enumerate(cache["v"])],
     }
     out = dec.shift_kv_block(CFG, cache, jnp.int32(src), jnp.int32(dst), block=block)
 
     expect_k = rot(raw_k, np.arange(dst, dst + block))
-    np.testing.assert_allclose(
-        np.asarray(out["k"][:, dst : dst + block]), np.asarray(expect_k), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(out["v"][:, dst : dst + block]), raw_v, atol=1e-6
-    )
+    for l in range(CFG.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(out["k"][l][dst : dst + block]), np.asarray(expect_k[l]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["v"][l][dst : dst + block]), raw_v[l], atol=1e-6
+        )
 
 
 def test_two_chunk_reuse_equals_recompute(rng):

@@ -118,6 +118,38 @@ def main() -> None:
         h = dec.rms_norm(h, final_norm, cfg.rms_norm_eps)
         return matmul(h, lm_head)[:, :8]
 
+    # ---- D2: unrolled weights, STACKED cache with static per-layer index ----
+    cache_d2 = dec.init_cache(cfg, 2048)
+
+    @jax.jit
+    def step_d2(layer_list, lm_head, final_norm, embd, cache, pos):
+        scale = cfg.head_dim ** -0.5
+        cos, sin = dec.rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
+        valid = jnp.concatenate(
+            [jnp.arange(WIN, dtype=jnp.int32) < pos, jnp.ones((1,), bool)]
+        )[None, :]
+        h = embd[None, :]
+        new_ks, new_vs = [], []
+        for l, layer in enumerate(layer_list):
+            attn_in = dec.rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = dec._layer_qkv(layer, cfg, attn_in, cos, sin)
+            k_all = jnp.concatenate([cache["k"][l, :WIN].astype(k.dtype), k], axis=0)
+            v_all = jnp.concatenate([cache["v"][l, :WIN].astype(v.dtype), v], axis=0)
+            attn = dec._gqa_attention(q, k_all, v_all, valid, scale)
+            h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
+            mlp_in = dec.rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
+            h = h + dec._mlp(layer, mlp_in)
+            new_ks.append(k)
+            new_vs.append(v)
+        ks = jnp.stack(new_ks)
+        vs = jnp.stack(new_vs)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache["k"].dtype), (0, pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache["v"].dtype), (0, pos, 0, 0)),
+        }
+        h = dec.rms_norm(h, final_norm, cfg.rms_norm_eps)
+        return matmul(h, lm_head)[:, :8], cache
+
     def sync(x):
         return float(np.asarray(x).ravel()[0])
 
@@ -133,7 +165,13 @@ def main() -> None:
     def run_e():
         return step_e(layer_list, dp["lm_head"], dp["final_norm"], embd, ks_e, vs_e, ksc, vsc, pos)
 
-    variants = [("A scan", run_a), ("D unrolled", run_d), ("E unrolled+int8kv", run_e)]
+    def run_d2():
+        nonlocal cache_d2
+        out, cache_d2 = step_d2(layer_list, dp["lm_head"], dp["final_norm"], embd, cache_d2, pos)
+        return out
+
+    variants = [("A scan", run_a), ("D unrolled", run_d),
+                ("D2 unrolled-stackedcache", run_d2), ("E unrolled+int8kv", run_e)]
     # warm compile
     for name, fn in variants:
         sync(fn())

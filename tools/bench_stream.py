@@ -1,0 +1,102 @@
+"""Streaming latency benchmark: TTFT and per-chunk decode latency.
+
+Simulates a live mic session (2 s chunks, reference tech-report recipe) on
+the 1.7B checkpoint and reports first-chunk latency (after prewarm) plus
+per-chunk latency percentiles.
+
+Usage: python tools/bench_stream.py [--seconds 30] [--chunk 2.0] [--prewarm]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--chunk", type=float, default=2.0)
+    ap.add_argument("--max-new", type=int, default=48)
+    ap.add_argument("--no-prewarm", action="store_true")
+    args = ap.parse_args()
+
+    from qwen3_asr_gguf_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+    from qwen3_asr_gguf_tpu.runtime.streaming import StreamingTranscriber
+    from qwen3_asr_gguf_tpu.schema import ASREngineConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    ckpt = REPO / ".bench_cache" / ("qwen3-asr-1.7b" if on_tpu else "tiny")
+    if not (ckpt / "qwen3_asr_llm.q4_k.gguf").exists():
+        from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+        make_synthetic_checkpoint(str(ckpt), "qwen3-asr-1.7b" if on_tpu else "tiny",
+                                  quant="q4_k")
+
+    t0 = time.time()
+    engine = QwenASREngine(ASREngineConfig(
+        model_dir=str(ckpt), llm_fn="qwen3_asr_llm.q4_k.gguf",
+        precision="int8" if on_tpu else "f32",
+        n_ctx=2048, chunk_size=40.0, verbose=False,
+        max_new_tokens=args.max_new, enable_aligner=False,
+    ))
+    print(f"engine init {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    st = StreamingTranscriber(engine, language="Chinese", temperature=0.0,
+                              chunk_size_sec=args.chunk)
+    if not args.no_prewarm:
+        t0 = time.time()
+        st.prewarm(max_sec=args.seconds)
+        print(f"prewarm {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    # reference audio tiled to length
+    ref_wav = Path("/root/reference/test_audio.wav")
+    if ref_wav.exists():
+        from qwen3_asr_gguf_tpu.audio.io import load_audio
+        audio = load_audio(str(ref_wav))
+    else:
+        t = np.arange(16_000 * 16) / 16_000
+        audio = (np.sin(2 * np.pi * 300 * t) * 0.3).astype(np.float32)
+    reps = int(np.ceil(args.seconds * 16_000 / len(audio)))
+    audio = np.tile(audio, reps)[: int(args.seconds * 16_000)]
+
+    state = st.init_state()
+    chunk_n = int(args.chunk * 16_000)
+    lat = []
+    for off in range(0, len(audio), chunk_n):
+        t0 = time.time()
+        st.feed(state, audio[off : off + chunk_n])
+        lat.append(time.time() - t0)
+    t0 = time.time()
+    st.finish(state)
+    t_finish = time.time() - t0
+
+    lat_np = np.asarray(lat)
+    print(
+        f"chunks={len(lat)} ttft={lat_np[0]:.2f}s "
+        f"p50={np.percentile(lat_np, 50):.2f}s p95={np.percentile(lat_np, 95):.2f}s "
+        f"max={lat_np.max():.2f}s finish={t_finish:.2f}s",
+        file=sys.stderr, flush=True,
+    )
+    # a live session keeps up iff per-chunk latency < chunk duration
+    import json
+    print(json.dumps({
+        "metric": "stream_p95_chunk_latency_s",
+        "value": round(float(np.percentile(lat_np, 95)), 3),
+        "unit": "s",
+        "vs_baseline": round(args.chunk / max(float(np.percentile(lat_np, 95)), 1e-9), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
