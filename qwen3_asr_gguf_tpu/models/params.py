@@ -171,6 +171,12 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     elif _fresh(legacy_npz):
         z = np.load(legacy_npz)
         flat = {k: z[k] for k in z.files}
+        try:  # migrate once to the mmap-able per-tensor layout
+            sidecar_dir.mkdir(exist_ok=True)
+            for k, v in flat.items():
+                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
+        except OSError:
+            pass
     else:
         flat: dict[str, np.ndarray] = {}
         for mine, suffix in _LAYER_MAP.items():
