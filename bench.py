@@ -90,6 +90,7 @@ def main() -> None:
             verbose=False,
             max_new_tokens=96,
             decode_block=48,  # 2 host round-trips per chunk's 96 tokens
+            kv_cache_dtype="int8" if on_tpu else "bf16",
             enable_aligner=True,
             align_config=AlignerConfig(
                 model_dir=str(cache),

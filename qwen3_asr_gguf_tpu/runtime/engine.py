@@ -98,11 +98,15 @@ class QwenASREngine:
         dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
         self.dec_cfg = dec_cfg
         self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
+        kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}[
+            config.kv_cache_dtype if config.precision != "f32" else "f32"
+        ]
         self.generator = Generator(
             dec_params, dec_cfg,
             n_ctx=config.n_ctx,
             eos_ids=thinker.eos_token_ids,
             block=config.decode_block,
+            cache_dtype=kv_dtype,
         )
 
         # aligner ----------------------------------------------------------

@@ -98,6 +98,9 @@ class ASREngineConfig:
     # re-prefilling it (exact for chunk 2; later chunks reuse KV computed
     # with the prior chunk's context — a cache-reuse approximation)
     kv_prefix_reuse: bool = True
+    # "bf16" (exact), "int8" (per-slot-per-head scales: half the attention
+    # HBM traffic and cache memory; llama.cpp's q8_0 KV analogue), "f32"
+    kv_cache_dtype: str = "bf16"
 
     def __post_init__(self) -> None:
         if self.align_config is None:

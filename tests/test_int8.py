@@ -85,3 +85,66 @@ def test_int8_sidecar_cache(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(p1["lm_head"].scale), np.asarray(p2["lm_head"].scale)
     )
+
+
+def test_int8_kv_cache_close_to_bf16(rng):
+    """int8 KV (per-slot-per-head scales) must track the exact-cache decode
+    closely: cosine > 0.999 on step hidden states over a 24-token rollout."""
+    import jax.numpy as jnp
+    from qwen3_asr_gguf_tpu.models import decoder as dec
+    from qwen3_asr_gguf_tpu.models.configs import TextDecoderConfig
+
+    cfg = TextDecoderConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, head_dim=16,
+                            intermediate_size=128)
+    params = dec.init_params(cfg, jax.random.key(5))
+    embd = rng.standard_normal((8, cfg.hidden_size)).astype(np.float32) * 0.1
+    steps = rng.standard_normal((24, cfg.hidden_size)).astype(np.float32) * 0.1
+
+    def rollout(cache_dtype):
+        cache = dec.init_cache(cfg, 64, dtype=cache_dtype)
+        _, cache = dec.forward_prefill(params, cfg, jnp.asarray(embd), cache)
+        hs = []
+        for i, e in enumerate(steps):
+            h, cache = dec.forward_step(params, cfg, jnp.asarray(e), cache,
+                                        jnp.int32(8 + i))
+            hs.append(np.asarray(h))
+        return np.stack(hs)
+
+    h_exact = rollout(jnp.float32)
+    h_q = rollout(jnp.int8)
+    a, b = h_exact.ravel(), h_q.ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_int8_kv_shift_rebases(rng):
+    """shift_kv_block on an int8 cache dequantizes, rotates, requantizes."""
+    import jax.numpy as jnp
+    from qwen3_asr_gguf_tpu.models import decoder as dec
+    from qwen3_asr_gguf_tpu.models.configs import TextDecoderConfig
+
+    cfg = TextDecoderConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, head_dim=16,
+                            intermediate_size=128)
+    cache = dec.init_cache(cfg, 32, dtype=jnp.int8)
+    raw = rng.standard_normal((2, 4, 2, 16)).astype(np.float32)
+
+    def rot(k, positions):
+        cos, sin = dec.rope_cos_sin(jnp.asarray(positions, dtype=jnp.int32), 16, cfg.rope_theta)
+        return jax.vmap(lambda kl: dec.apply_rope(kl, cos, sin))(jnp.asarray(k))
+
+    k_src = np.asarray(rot(raw, np.arange(10, 14)))
+    for l in range(2):
+        kq, ks = dec._quant_kv(jnp.asarray(k_src[l]))
+        cache["k"][l] = cache["k"][l].at[10:14].set(kq)
+        cache["k_s"][l] = cache["k_s"][l].at[10:14].set(ks)
+        vq, vs = dec._quant_kv(jnp.asarray(raw[l]))
+        cache["v"][l] = cache["v"][l].at[10:14].set(vq)
+        cache["v_s"][l] = cache["v_s"][l].at[10:14].set(vs)
+
+    out = dec.shift_kv_block(cfg, cache, jnp.int32(10), jnp.int32(2), block=4)
+    expect = np.asarray(rot(raw, np.arange(2, 6)))
+    for l in range(2):
+        got = np.asarray(dec._dequant_kv(out["k"][l][2:6], out["k_s"][l][2:6], jnp.float32))
+        np.testing.assert_allclose(got, expect[l], atol=0.05)
