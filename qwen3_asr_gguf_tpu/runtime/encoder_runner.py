@@ -94,12 +94,13 @@ class EncoderRunner:
 
     def mel_bucket(self, frames: int) -> int:
         """Frame bucket for variable-length inputs: linear 5 s steps up to
-        30 s, then geometric doubling — an unbounded streaming session
-        compiles O(log T) encoder shapes, not one per 5 s of accumulation
-        (padded keys are masked, so longer buckets only waste compute)."""
+        50 s (covers every forced-aligner window: chunk + 10 s lookback,
+        engine.run_align), then geometric doubling so an unbounded streaming
+        session compiles O(log T) encoder shapes (padded keys are masked, so
+        longer buckets only waste compute)."""
         b = self.bucket_frames
         while b < frames:
-            b = b + self.bucket_frames if b < 3000 else b * 2
+            b = b + self.bucket_frames if b < 5000 else b * 2
         return b
 
     def valid_tokens(self, audio_len: int) -> int:
