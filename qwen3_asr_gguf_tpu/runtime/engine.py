@@ -256,10 +256,21 @@ class QwenASREngine:
                 print(_PUNCT_NEWLINE.sub("\\1\n", piece), end="", flush=True)
             return piece
 
-        while not finished and n_gen < self.config.max_new_tokens and not result.is_aborted:
-            toks, state, finished = self.generator.decode_block(state, temperature)
+        # speculative block pipeline: dispatch block n+1 before fetching
+        # block n's tiny result (post-EOS steps are latched no-ops on
+        # device), hiding one device->host round-trip per block
+        gen = self.generator
+        max_new = self.config.max_new_tokens
+        st, packed = gen.decode_block_dispatch(state, temperature)
+        latest = st
+        while True:
+            spec = None
+            if packed is not None and n_gen + gen.block < max_new:
+                spec = gen.decode_block_dispatch(st, temperature)
+                latest = spec[0]
+            toks, finished = gen.collect_block(packed)
             for tok in toks:
-                if n_gen >= self.config.max_new_tokens:
+                if n_gen >= max_new:
                     break
                 n_gen += 1
                 display_queue.append(tok)
@@ -271,6 +282,13 @@ class QwenASREngine:
                 if len(stable_tokens) > 15 and len(set(stable_tokens[-15:])) <= 3:
                     result.is_aborted = True
                     break
+            if finished or n_gen >= max_new or result.is_aborted:
+                break
+            if spec is None:
+                spec = gen.decode_block_dispatch(st, temperature)
+                latest = spec[0]
+            st, packed = spec
+        state = latest
         result.t_generate = time.time() - t1
 
         if is_last_chunk and not result.is_aborted:

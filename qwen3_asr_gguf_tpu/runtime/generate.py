@@ -334,6 +334,42 @@ class Generator:
         done = jnp.any(tok == self.eos_ids)
         return GenState(cache=cache, pos=start + t, last_token=tok, key=key, done=done)
 
+    def decode_block_dispatch(self, state: GenState, temperature: float = 0.4):
+        """Enqueue one K-step block WITHOUT waiting; returns
+        (new_state, packed_device) — fetch `packed` later with
+        `collect_block`. Lets the caller dispatch block n+1 while block n's
+        tiny result array crosses the (high-latency) device->host link;
+        post-EOS steps are latched no-ops on device, so speculative blocks
+        are safe."""
+        greedy = temperature <= 0.0
+        if state.pos + self.block > self.n_ctx:
+            return state, None  # context full
+        win = min(self.n_ctx, round_up(state.pos + self.block, 512))
+        cache, pos, tok, key, done, packed = self._block_jit(
+            self.params,
+            self.layers_list,
+            state.cache,
+            jnp.int32(state.pos),
+            state.last_token,
+            state.key,
+            jnp.float32(max(temperature, 1e-6)),
+            state.done,
+            greedy,
+            win,
+        )
+        new_state = GenState(
+            cache=cache, pos=state.pos + self.block, last_token=tok, key=key, done=done
+        )
+        return new_state, packed
+
+    @staticmethod
+    def collect_block(packed) -> tuple[list[int], bool]:
+        """(emitted_tokens, finished) from a dispatched block's packed array."""
+        if packed is None:
+            return [], True
+        arr = np.asarray(packed)  # ONE device->host fetch per block
+        return [int(t) for t in arr[:-1] if t >= 0], bool(arr[-1])
+
     def decode_block(self, state: GenState, temperature: float = 0.4) -> tuple[list[int], GenState, bool]:
         """Run up to `block` steps; returns (emitted_tokens, state, finished).
 

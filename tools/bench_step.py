@@ -69,7 +69,10 @@ def main() -> None:
         cache = dec.init_cache(cfg, 2048)
         # fill cache with noise so reads are real
         cache = {
-            k: jnp.asarray(rng.standard_normal(v.shape).astype(np.float32) * 0.05, dtype=v.dtype)
+            k: [
+                jnp.asarray(rng.standard_normal(c.shape).astype(np.float32) * 0.05, dtype=c.dtype)
+                for c in v
+            ]
             for k, v in cache.items()
         }
         embd = jnp.asarray(rng.standard_normal((2048,)).astype(np.float32) * 0.05)
