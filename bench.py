@@ -18,6 +18,7 @@ The synthetic checkpoint is cached in .bench_cache/ across rounds.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -90,7 +91,10 @@ def main() -> None:
             verbose=False,
             max_new_tokens=96,
             decode_block=48,  # 2 host round-trips per chunk's 96 tokens
-            kv_cache_dtype="int8" if on_tpu else "bf16",
+            # bf16 KV: measured faster than int8 KV at single-stream decode
+            # (the per-layer dequant ops cost more than the saved bandwidth
+            # at win<=1536); int8 remains the serving option (cache memory)
+            kv_cache_dtype=os.environ.get("QWEN3_BENCH_KV", "bf16"),
             enable_aligner=True,
             align_config=AlignerConfig(
                 model_dir=str(cache),
