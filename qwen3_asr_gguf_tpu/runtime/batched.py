@@ -134,9 +134,9 @@ class BatchedGenerator:
             jnp.pad(a, ((0, ta_max - a.shape[0]), (0, 0))) for a in audio_embds
         ])
 
-        caches = jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, self.cache_dtype))(
-            jnp.arange(b)
-        )
+        caches = jax.jit(
+            jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, self.cache_dtype))
+        )(jnp.arange(b))
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
         keys = jax.vmap(jax.random.key)(jnp.arange(seed, seed + b, dtype=jnp.uint32))

@@ -72,8 +72,8 @@ class ContinuousBatcher:
         self._build_programs()
 
         # device state
-        self.caches = jax.vmap(
-            lambda _: dec.init_cache(self.cfg, self.n_ctx, jnp.bfloat16)
+        self.caches = jax.jit(
+            jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, jnp.bfloat16))
         )(jnp.arange(self.b))
         self.toks = jnp.zeros((self.b,), jnp.int32)
         self.keys = jax.vmap(jax.random.key)(np.arange(self.b, dtype=np.uint32))

@@ -207,7 +207,13 @@ class Generator:
     # -- host API ----------------------------------------------------------
 
     def new_cache(self):
-        return dec.init_cache(self.cfg, self.n_ctx, dtype=self.cache_dtype)
+        # one jitted program allocates the whole 2L-array cache pytree —
+        # eager init_cache would issue one host dispatch per layer array
+        # (~2 ms each through the remote runtime)
+        if not hasattr(self, "_new_cache_jit"):
+            cfg, n_ctx, dt = self.cfg, self.n_ctx, self.cache_dtype
+            self._new_cache_jit = jax.jit(lambda: dec.init_cache(cfg, n_ctx, dt))
+        return self._new_cache_jit()
 
     def start(
         self,

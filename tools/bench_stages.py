@@ -79,11 +79,12 @@ def main() -> None:
 
     timeit(f"prefill full ({len(ids)} tok)", prefill)
 
-    # 5. one decode block (48)
-    st = engine.generator.start_spliced(ids, mask, embd, temperature=0.0)
+    # 5. one decode block (48) — chain states (the cache is donated)
+    holder = {"st": engine.generator.start_spliced(ids, mask, embd, temperature=0.0)}
 
     def block():
-        s2, packed = engine.generator.decode_block_dispatch(st, 0.0)
+        s2, packed = engine.generator.decode_block_dispatch(holder["st"], 0.0)
+        holder["st"] = s2
         return packed
 
     timeit("decode block 48", block)
