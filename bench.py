@@ -90,7 +90,7 @@ def main() -> None:
             memory_num=1,
             verbose=False,
             max_new_tokens=96,
-            decode_block=48,  # 2 host round-trips per chunk's 96 tokens
+            decode_block=96,  # ONE dispatch+fetch per chunk (device exits at EOS)
             # bf16 KV: measured faster than int8 KV at single-stream decode
             # (the per-layer dequant ops cost more than the saved bandwidth
             # at win<=1536); int8 remains the serving option (cache memory)

@@ -177,8 +177,17 @@ class Generator:
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
         def decode_block(params, layers_list, cache, pos0, tok0, key, temperature, done0,
                          greedy: bool, attn_window: int):
-            def step(carry, _):
-                cache, pos, tok, key, done = carry
+            # while_loop (not scan): the device exits as soon as EOS is
+            # sampled, so a large block costs only the tokens it produces —
+            # one host dispatch + one tiny fetch per block either way
+            emitted0 = jnp.full((block,), -1, jnp.int32)
+
+            def cond(carry):
+                i, cache, pos, tok, key, done, emitted = carry
+                return (i < block) & jnp.logical_not(done)
+
+            def body(carry):
+                i, cache, pos, tok, key, done, emitted = carry
                 embd = dec.embed_tokens(params, tok)
                 hidden, cache = dec.forward_step_layers(
                     layers_list, params["final_norm"], cfg, embd, cache, pos,
@@ -190,13 +199,12 @@ class Generator:
                 else:
                     key, sub = jax.random.split(key)
                     nxt = sample_topk_topp(logits, sub, temperature).astype(jnp.int32)
-                emitted = jnp.where(done, -1, tok)
-                nxt_done = done | jnp.any(nxt == eos)
-                nxt = jnp.where(done, tok, nxt)
-                return (cache, pos + 1, nxt, key, nxt_done), emitted
+                emitted = emitted.at[i].set(tok)
+                done = jnp.any(nxt == eos)
+                return (i + 1, cache, pos + 1, nxt, key, done, emitted)
 
-            (cache, pos, tok, key, done), emitted = jax.lax.scan(
-                step, (cache, pos0, tok0, key, done0), None, length=block
+            i, cache, pos, tok, key, done, emitted = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), cache, pos0, tok0, key, done0, emitted0)
             )
             # pack [emitted..., done] so the host fetches ONE tiny array
             packed = jnp.concatenate([emitted, done.astype(jnp.int32)[None]])
