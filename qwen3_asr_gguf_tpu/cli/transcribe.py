@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--duration", type=float, default=0.0)
     p.add_argument("-y", "--overwrite", action="store_true",
                    help="overwrite existing outputs without asking")
+    p.add_argument("--output-dir", default=None,
+                   help="write outputs here instead of next to each input")
     p.add_argument("--dml", action="store_true", help=argparse.SUPPRESS)  # no-op
     p.add_argument("--vulkan", action="store_true", help=argparse.SUPPRESS)  # no-op
     p.add_argument("--quiet", action="store_true")
@@ -124,7 +126,12 @@ def main(argv=None) -> int:
         if not path.exists():
             print(f"skip (not found): {f}", file=sys.stderr)
             continue
-        out_txt = path.with_suffix(".txt")
+        if args.output_dir:
+            out_base = Path(args.output_dir) / path.stem
+            out_base.parent.mkdir(parents=True, exist_ok=True)
+        else:
+            out_base = path.with_suffix("")
+        out_txt = out_base.with_suffix(".txt")
         if out_txt.exists() and not args.overwrite:
             resp = input(f"{out_txt} exists; overwrite? [y/N] ").strip().lower()
             if resp != "y":
@@ -143,9 +150,9 @@ def main(argv=None) -> int:
         exporters.export_to_txt(str(out_txt), result)
         print(f"wrote {out_txt}", file=sys.stderr)
         if args.timestamp and result.alignment:
-            exporters.export_to_srt(str(path.with_suffix(".srt")), result)
-            exporters.export_to_json(str(path.with_suffix(".json")), result)
-            print(f"wrote {path.with_suffix('.srt')} {path.with_suffix('.json')}", file=sys.stderr)
+            exporters.export_to_srt(str(out_base.with_suffix(".srt")), result)
+            exporters.export_to_json(str(out_base.with_suffix(".json")), result)
+            print(f"wrote {out_base.with_suffix('.srt')} {out_base.with_suffix('.json')}", file=sys.stderr)
 
     engine.shutdown()
     return 0

@@ -176,7 +176,19 @@ def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, 
     return q, k, v
 
 
-def _mlp(layer: Params, x_normed: jax.Array) -> jax.Array:
+def _mlp(layer: Params, x_normed: jax.Array, *, fused_kernel: bool = False) -> jax.Array:
+    if fused_kernel and _can_fuse_mlp(layer, x_normed):
+        # one Pallas kernel streams Wg/Wu/Wd from HBM exactly once
+        # (decode matvec is HBM-bound; three XLA matmuls leave scheduling
+        # bubbles at 1-row shapes). Opt-in: only the single-stream decode
+        # step sets this (vmapped batch paths keep the XLA path).
+        from ..ops.pallas_mlp import fused_mlp_matvec
+
+        g, u, d = layer["gate_proj"], layer["up_proj"], layer["down_proj"]
+        return fused_mlp_matvec(
+            x_normed, g.q, g.scale, u.q, u.scale, d.q, d.scale,
+            interpret=jax.default_backend() != "tpu",  # CPU tests
+        )
     if "gateup_proj" in layer:
         m = layer["gateup_proj"].shape[0] // 2  # [2M, D] (dense or packed)
         gu = matmul(x_normed, layer["gateup_proj"])
@@ -186,6 +198,22 @@ def _mlp(layer: Params, x_normed: jax.Array) -> jax.Array:
         up = matmul(x_normed, layer["up_proj"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x_normed.dtype) * up
     return matmul(act, layer["down_proj"])
+
+
+def _can_fuse_mlp(layer: Params, x: jax.Array) -> bool:
+    """Trace-time check that the fused int8 MLP kernel applies: separate
+    per-layer int8 gate/up/down weights, a single token row, tile-aligned
+    intermediate dim."""
+    from ..ops.qtensor import Int8Weight
+
+    if x.ndim != 2 or x.shape[0] != 1:
+        return False
+    if not all(
+        isinstance(layer.get(k), Int8Weight) for k in ("gate_proj", "up_proj", "down_proj")
+    ):
+        return False
+    m, d = layer["gate_proj"].q.shape
+    return m % 512 == 0 and d % 128 == 0
 
 
 def forward_prefill(
@@ -398,6 +426,30 @@ def unstack_layers(layers: Params, num_layers: int) -> list[Params]:
     return [jax.tree.map(lambda a: a[l], layers) for l in range(num_layers)]
 
 
+def split_mlp_weights(layer_list: list[Params]) -> list[Params]:
+    """Replace each layer's fused `gateup_proj` with separate gate/up
+    weights (device-side, one-time) so the fused decode MLP kernel can
+    stream them without re-slicing the concat every step."""
+    from ..ops.qtensor import Int8Weight
+
+    out = []
+    for layer in layer_list:
+        layer = dict(layer)
+        gu = layer.pop("gateup_proj", None)
+        if gu is None:
+            out.append(layer)
+            continue
+        if isinstance(gu, Int8Weight):
+            m = gu.q.shape[0] // 2
+            layer["gate_proj"] = Int8Weight(q=gu.q[:m], scale=gu.scale[:m])
+            layer["up_proj"] = Int8Weight(q=gu.q[m:], scale=gu.scale[m:])
+        else:
+            m = gu.shape[0] // 2
+            layer["gate_proj"], layer["up_proj"] = gu[:m], gu[m:]
+        out.append(layer)
+    return out
+
+
 def forward_step_layers(
     layer_list: list[Params],
     final_norm: jax.Array,
@@ -407,6 +459,7 @@ def forward_step_layers(
     pos: jax.Array,
     *,
     attn_window: int | None = None,
+    fused_mlp: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Unrolled decode step (same math as forward_step; see unstack_layers).
 
@@ -432,7 +485,7 @@ def forward_step_layers(
         attn = _gqa_attention(q, k_all, v_all, valid, scale)
         h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
         mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(layer, mlp_in)
+        h = h + _mlp(layer, mlp_in, fused_kernel=fused_mlp)
         new_ks.append(k)
         new_vs.append(v)
     dt = cache["k"][0].dtype

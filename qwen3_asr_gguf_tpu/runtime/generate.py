@@ -84,11 +84,36 @@ class Generator:
         self.layers_list = jax.jit(
             lambda ls: dec.unstack_layers(ls, cfg.num_layers)
         )(params["layers"])
+        # fused int8 MLP matvec kernel for the decode step (one HBM stream
+        # for Wg/Wu/Wd instead of three op-bounded matmuls). Measured OFF:
+        # in the full 28-layer step the pallas_call is a scheduling barrier
+        # and loses to XLA's overlapped matmuls (3.76 vs 3.25 ms/tok at
+        # 1.7B, win=2048, v5e — tools/bench_block_ab.py --production).
+        # Kept as an opt-in for future Mosaic revisions.
+        import os as _os
+
+        self.fused_mlp = (
+            jax.default_backend() == "tpu"
+            and _os.environ.get("QWEN3_FUSED_MLP", "0") != "0"
+            and self._mlp_fusable()
+        )
+        if self.fused_mlp:
+            self.layers_list = jax.jit(dec.split_mlp_weights)(self.layers_list)
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
         self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
         self._block_jit = self._build_block()
         self._rebase_jit = self._build_rebase()
+
+    def _mlp_fusable(self) -> bool:
+        from ..ops.qtensor import Int8Weight
+
+        layer0 = self.layers_list[0]
+        gu = layer0.get("gateup_proj")
+        if not isinstance(gu, Int8Weight):
+            return False
+        m, d = gu.q.shape[0] // 2, gu.q.shape[1]
+        return m % 512 == 0 and d % 128 == 0 and isinstance(layer0.get("down_proj"), Int8Weight)
 
     # -- jitted programs ---------------------------------------------------
 
@@ -173,6 +198,7 @@ class Generator:
         cfg = self.cfg
         eos = self.eos_ids
         block = self.block
+        fused_mlp = self.fused_mlp
 
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
         def decode_block(params, layers_list, cache, pos0, tok0, key, temperature, done0,
@@ -191,7 +217,7 @@ class Generator:
                 embd = dec.embed_tokens(params, tok)
                 hidden, cache = dec.forward_step_layers(
                     layers_list, params["final_norm"], cfg, embd, cache, pos,
-                    attn_window=attn_window,
+                    attn_window=attn_window, fused_mlp=fused_mlp,
                 )
                 logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:

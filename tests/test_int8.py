@@ -148,3 +148,37 @@ def test_int8_kv_shift_rebases(rng):
     for l in range(2):
         got = np.asarray(dec._dequant_kv(out["k"][l][2:6], out["k_s"][l][2:6], jnp.float32))
         np.testing.assert_allclose(got, expect[l], atol=0.05)
+
+
+def test_fused_mlp_decode_step_matches_xla(rng):
+    """forward_step_layers with fused_mlp=True (Pallas interpret on CPU)
+    tracks the XLA int8 three-matmul path."""
+    params = dec.init_params(QCFG, jax.random.key(2))
+    p8 = {
+        "embed": params["embed"],
+        "layers": {
+            k: (jax.vmap(to_int8)(v) if k.endswith("_proj") else v)
+            for k, v in params["layers"].items()
+        },
+        "final_norm": params["final_norm"],
+        "lm_head": to_int8(params["lm_head"]),
+    }
+    fused = P.fuse_layer_weights(p8)
+    layers = dec.unstack_layers(fused["layers"], QCFG.num_layers)
+    layers_split = dec.split_mlp_weights(layers)
+
+    cache_a = dec.init_cache(QCFG, 64, jnp.float32)
+    cache_b = dec.init_cache(QCFG, 64, jnp.float32)
+    embd = jnp.asarray(rng.standard_normal(QCFG.hidden_size).astype(np.float32) * 0.1)
+    pos = jnp.int32(0)
+    h_ref, _ = dec.forward_step_layers(
+        layers, fused["final_norm"], QCFG, embd, cache_a, pos, attn_window=64
+    )
+    h_fused, _ = dec.forward_step_layers(
+        layers_split, fused["final_norm"], QCFG, embd, cache_b, pos,
+        attn_window=64, fused_mlp=True,
+    )
+    a, b = np.asarray(h_ref).ravel(), np.asarray(h_fused).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    # per-tile activation requant differs slightly from per-row scale
+    assert cos > 0.999, cos

@@ -55,6 +55,11 @@ def main() -> None:
     state = gen.start(embd[: args.pos], temperature=0.0)
     print("prefill done", flush=True)
 
+    # keep every timed block in the SAME attn-window bucket (a bucket change
+    # mid-loop puts a compile inside the timing)
+    assert (args.pos + args.block) // 512 == (args.pos + 6 * args.block) // 512 or args.pos >= 1536, (
+        "pos+blocks crosses a 512 window bucket; pick pos so the window is stable"
+    )
     for label, window in [("full 2048", 2048)]:
         # warm compile
         toks, st, fin = gen.decode_block(state, temperature=0.0)
