@@ -114,6 +114,49 @@ def korean_scores_from_vocab(vocab_words) -> dict:
     return scores
 
 
+def _jp_script(ch: str) -> str:
+    code = ord(ch)
+    if 0x30A0 <= code <= 0x30FF or code == 0x30FC or 0x31F0 <= code <= 0x31FF:
+        return "katakana"  # incl. prolonged-sound mark
+    if 0x3040 <= code <= 0x309F:
+        return "hiragana"
+    if is_cjk_char(ch):
+        return "kanji"
+    return "latin"  # latin letters / digits / other kept chars
+
+
+def tokenize_japanese(text: str) -> List[str]:
+    """Dependency-free Japanese segmentation (nagisa fallback,
+    reference aligner.py:88-97 uses the nagisa neural tagger).
+
+    Script-run grouping: katakana runs (loanwords) and latin/digit runs
+    stay whole — splitting them per character would scatter one spoken word
+    over several timestamp slots — while kanji and hiragana stay per-char
+    (the CJK convention the aligner is trained with for Chinese)."""
+    tokens: List[str] = []
+    run: List[str] = []
+    run_kind = ""
+    for ch in text:
+        if not is_kept_char(ch):
+            if run:
+                tokens.append("".join(run))
+                run, run_kind = [], ""
+            continue
+        kind = _jp_script(ch)
+        if kind in ("katakana", "latin") and kind == run_kind:
+            run.append(ch)
+            continue
+        if run:
+            tokens.append("".join(run))
+        run, run_kind = [ch], kind
+        if kind in ("kanji", "hiragana"):
+            tokens.append("".join(run))
+            run, run_kind = [], ""
+    if run:
+        tokens.append("".join(run))
+    return tokens
+
+
 def tokenize(text: str, language: Optional[str] = None, ko_scores: Optional[dict] = None) -> List[str]:
     lang = str(language or "").lower()
     if lang == "japanese":
@@ -122,7 +165,7 @@ def tokenize(text: str, language: Optional[str] = None, ko_scores: Optional[dict
 
             return [t for w in nagisa.tagging(text).words if (t := clean_token(w))]
         except ImportError:
-            return _tokenize_chars(text)
+            return tokenize_japanese(text)
     if lang == "korean":
         return tokenize_korean(text, ko_scores)
     return tokenize_general(text)
