@@ -281,7 +281,7 @@ def main(argv=None) -> int:
     from .transcribe import _resolve_llm_fn
 
     llm_fn = args.llm_fn or _resolve_llm_fn(args.model_dir, args.prec)
-    precision = {"int4": "q4_k", "f16": "bf16"}.get(args.prec, args.prec)
+    precision = {"f16": "bf16"}.get(args.prec, args.prec)
     cfg = ASREngineConfig(
         model_dir=args.model_dir, llm_fn=llm_fn, precision=precision,
         n_ctx=args.n_ctx, chunk_size=args.chunk_size, verbose=False,

@@ -88,7 +88,7 @@ def main(argv=None) -> int:
     from ..runtime.engine import QwenASREngine
     from ..text import exporters
 
-    precision = {"int4": "q4_k", "bf16": "bf16", "f16": "bf16"}.get(args.prec, args.prec)
+    precision = {"bf16": "bf16", "f16": "bf16"}.get(args.prec, args.prec)
     config = ASREngineConfig(
         model_dir=model_dir,
         llm_fn=llm_fn,

@@ -113,6 +113,9 @@ def load_decoder_gguf(
     if precision == "int8":
         params = _load_int8_params(reader, cfg, path, dense_dtype)
         return cfg, params, tokenizer
+    if precision == "int4":
+        params = _load_int4_params(reader, cfg, path, dense_dtype)
+        return cfg, params, tokenizer
 
     layers: dict[str, Any] = {}
     for mine, suffix in _LAYER_MAP.items():
@@ -235,6 +238,88 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     }
 
 
+def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+    """int4 load path: q4_k content repacked into the MXU matvec layout
+    (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
+    exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
+    Cached in a `.int4/` per-tensor sidecar like the int8 path."""
+    from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight
+    from ..formats.quants import pack_q4_direct
+
+    sidecar_dir = Path(path + ".int4")
+    src_mtime = Path(path).stat().st_mtime
+
+    def _fresh(p: Path) -> bool:
+        return p.exists() and p.stat().st_mtime >= src_mtime
+
+    if _fresh(sidecar_dir / "final_norm.npy"):
+        flat = {
+            f.stem.replace("__", "."): np.load(f, mmap_mode="r")
+            for f in sidecar_dir.glob("*.npy")
+        }
+    else:
+        def _mxu_parts(name: str):
+            ti = reader.tensors[name]
+            if ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:
+                return pack_q4k_mxu(reader.packed_q4(name))
+            # non-q4_k tensor in a mixed file: requantize from f32
+            return pack_q4k_mxu(pack_q4_direct(reader.tensor(name, dtype=np.float32)))
+
+        flat: dict[str, np.ndarray] = {}
+        for mine, suffix in _LAYER_MAP.items():
+            if mine in _QUANTIZABLE:
+                parts = [_mxu_parts(f"blk.{i}.{suffix}") for i in range(cfg.num_layers)]
+                flat[f"layers.{mine}.packed"] = np.stack([p[0] for p in parts])
+                flat[f"layers.{mine}.scale_t"] = np.stack([p[1] for p in parts])
+                flat[f"layers.{mine}.offs_t"] = np.stack([p[2] for p in parts])
+            else:
+                flat[f"layers.{mine}"] = np.stack([
+                    reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
+                    for i in range(cfg.num_layers)
+                ])
+        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
+        flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
+        head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
+        hp, hs, ho = _mxu_parts(head_name)
+        hp, hs, ho = pad_rows(hp, hs, ho)
+        flat["lm_head.packed"], flat["lm_head.scale_t"], flat["lm_head.offs_t"] = hp, hs, ho
+        try:
+            sidecar_dir.mkdir(exist_ok=True)
+            for k, v in flat.items():
+                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
+        except OSError:
+            pass  # read-only model dir: skip caching
+
+    def _bf16(a: np.ndarray) -> np.ndarray:
+        import ml_dtypes
+
+        # mmap-loaded bf16 .npy files come back as raw 2-byte void records
+        return a.view(ml_dtypes.bfloat16) if a.dtype.kind == "V" else a
+
+    def _mxu(prefix: str) -> Q4KMXUWeight:
+        return Q4KMXUWeight(
+            packed=jnp.asarray(flat[f"{prefix}.packed"]),
+            scale_t=jnp.asarray(_bf16(flat[f"{prefix}.scale_t"])),
+            offs_t=jnp.asarray(_bf16(flat[f"{prefix}.offs_t"])).astype(jnp.bfloat16),
+        )
+
+    layers: dict[str, Any] = {}
+    for mine in _LAYER_MAP:
+        if mine in _QUANTIZABLE:
+            layers[mine] = _mxu(f"layers.{mine}")
+        else:
+            layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+    embed_dev = jnp.asarray(flat["embed"])
+    if embed_dev.dtype != dense_dtype:
+        embed_dev = embed_dev.astype(dense_dtype)
+    return {
+        "embed": embed_dev,
+        "layers": layers,
+        "final_norm": jnp.asarray(np.ascontiguousarray(flat["final_norm"]), dtype=jnp.float32),
+        "lm_head": _mxu("lm_head"),
+    }
+
+
 def save_decoder_gguf(
     path: str,
     cfg: TextDecoderConfig,
@@ -306,6 +391,16 @@ def fuse_layer_weights(params: dict) -> dict:
     """
 
     def cat(ws):
+        from ..ops.pallas_q4k import Q4KMXUWeight
+
+        if isinstance(ws[0], Q4KMXUWeight):
+            # channel-pair rows concat along the channel axis (every piece
+            # has an even channel count, so nibble pairs never straddle)
+            return Q4KMXUWeight(
+                packed=jnp.concatenate([w.packed for w in ws], axis=-2),
+                scale_t=jnp.concatenate([w.scale_t for w in ws], axis=-1),
+                offs_t=jnp.concatenate([w.offs_t for w in ws], axis=-1),
+            )
         if isinstance(ws[0], Q4Weight):
             return Q4Weight(
                 packed=jnp.concatenate([w.packed for w in ws], axis=-2),

@@ -1,0 +1,232 @@
+"""Pallas TPU kernel: exact-structure q4_k matvec with int4 weight streaming.
+
+The TPU analogue of llama.cpp's fused `mul_mat_vec_q4_K` CUDA/Vulkan
+kernels (the decode path the reference product rides,
+/root/reference/ref/llama.cpp/ggml/src/ggml-cuda/mmvq.cu): weights stay
+4-bit in HBM and the per-32-group q4_k scales/offsets apply exactly —
+activations are quantized to int8 per row, mirroring llama.cpp's q8_1
+activation quantization.
+
+Why this shape: single-token decode is HBM-bandwidth-bound. The previous
+packed-int4 kernel (`pallas_qmm`) dequantized on the VPU (~6 ops/element)
+and capped at ~120 GB/s; the per-channel int8 path streams at ~780 GB/s
+but reads TWICE the bytes. This kernel gets int4 bytes at full bandwidth
+by never touching weight elements on the VPU:
+
+- weights are packed two OUTPUT CHANNELS per byte (row pairs, natural K
+  order). `pltpu.bitcast(uint8[R, K] -> int4)` reinterprets that VMEM tile
+  as [2R, K] signed int4 with rows interleaved (measured semantics), and
+  `astype(int8)` widens on the fly into the MXU's native int8 dot — no
+  per-element unpack arithmetic.
+- per-32-group scales can't fold into a single dot, so each 512-lane K
+  step computes all 16 group partials AT ONCE: the activation row is
+  replicated into 16 group-masked int8 rows, one [16, 512] x [512, BN]
+  dot yields every (group, channel) partial, and the f32 scale applies
+  per PARTIAL (zero per-weight-element work) before a sublane reduce.
+  The MXU is idle in a matvec; feeding it 16 rows instead of 1 is free.
+- q4_k's asymmetric offset (minv) never enters the kernel: with signed
+  values q' = q - 8, w = q'*s + (8s - m), and the (8s - m) term
+  contributes sum_g offs[n,g] * (sum of x over group g) — ONE tiny XLA
+  matmul [1, G] @ [G, N] outside the kernel.
+
+Quality: weight dequantization keeps q4_k's exact int values and 32-group
+structure; scales/offsets are stored bf16 (<=0.4% scale rounding, far
+beneath int4 quantization noise). The remaining approximation is the
+int8 activation quant shared with the production int8 path and llama.cpp.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import quants as q
+
+GROUP = 32  # q4_k quant group along K
+BN = 512  # output channels per N step
+
+
+def pick_subk(k: int) -> int | None:
+    """Lanes per K step: as wide as divides K (<=2048) so weight-tile DMA
+    rows stay multi-KB contiguous; each step computes SUBK/32 group
+    partials at once (one masked-activation row per group)."""
+    for subk in (2048, 1024, 512):
+        if k % subk == 0:
+            return subk
+    return None
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packed", "scale_t", "offs_t"],
+    meta_fields=[],
+)
+@dataclass
+class Q4KMXUWeight:
+    """q4_k weight in the MXU matvec layout.
+
+    packed  : uint8 [..., N//2, K] — signed nibbles (q-8), channel PAIRS per
+              byte: byte[r, k] holds channel 2r in its low nibble and 2r+1
+              in its high nibble (matches pltpu.bitcast row interleave).
+              K is in NATURAL order (no rank-major permute).
+    scale_t : bf16 [..., G, N] — per-32-group q4_k scale, TRANSPOSED so the
+              kernel's K-step j reads rows [16j, 16j+16). bf16 because
+              Mosaic has no f16; the <=0.4% scale rounding sits far below
+              int4 quantization noise.
+    offs_t  : bf16 [..., G, N] — (8*scale - minv), transposed; consumed by
+              the XLA offset matmul, never by the kernel.
+    """
+
+    packed: jax.Array
+    scale_t: jax.Array
+    offs_t: jax.Array
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        n2, k = self.packed.shape[-2:]
+        return (n2 * 2, k)
+
+
+def pack_q4k_mxu(p: "q.PackedQ4") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host conversion PackedQ4 -> (packed, scale_t, offs_t) numpy arrays.
+
+    No N padding here — fusion concatenates pieces first; `pad_rows`
+    aligns the final tensor to the kernel's BN tile.
+    """
+    n, k = p.shape
+    packed = p.packed
+    if q.is_rank_major(p):
+        packed = packed[:, q.rank_major_inverse(k // 2)]
+    import ml_dtypes
+
+    ints = np.concatenate([packed & 0x0F, packed >> 4], axis=-1).astype(np.int8)  # [N, K] 0..15
+    ints -= 8  # signed
+    nib = (ints & 0xF).astype(np.uint8)
+    rows = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)  # [N//2, K]
+    scale_t = np.ascontiguousarray(p.scale.T).astype(ml_dtypes.bfloat16)  # [G, N]
+    offs_t = np.ascontiguousarray((8.0 * p.scale - p.minv).T).astype(ml_dtypes.bfloat16)
+    return rows, scale_t, offs_t
+
+
+def pad_rows(
+    rows: np.ndarray, scale_t: np.ndarray, offs_t: np.ndarray, multiple: int = BN
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad the channel dimension to a BN multiple (zero rows dequantize to
+    offs=0, scale=0 -> exactly 0; lm_logits slices them away)."""
+    n = rows.shape[0] * 2
+    pad = (-n) % multiple
+    if not pad:
+        return rows, scale_t, offs_t
+    rows = np.concatenate([rows, np.zeros((pad // 2, rows.shape[1]), np.uint8)])
+    scale_t = np.concatenate([scale_t, np.zeros((scale_t.shape[0], pad), scale_t.dtype)], axis=1)
+    offs_t = np.concatenate([offs_t, np.zeros((offs_t.shape[0], pad), offs_t.dtype)], axis=1)
+    return rows, scale_t, offs_t
+
+
+def from_packed_q4(p: "q.PackedQ4", pad: bool = True) -> Q4KMXUWeight:
+    rows, scale_t, offs_t = pack_q4k_mxu(p)
+    if pad:
+        rows, scale_t, offs_t = pad_rows(rows, scale_t, offs_t)
+    return Q4KMXUWeight(
+        packed=jnp.asarray(rows),
+        scale_t=jnp.asarray(scale_t),
+        offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
+    )
+
+
+def dequant_mxu(w: Q4KMXUWeight, dtype=jnp.bfloat16) -> jax.Array:
+    """Dense [N, K] reconstruction (XLA; prefill and fallback path)."""
+    n2, k = w.packed.shape[-2:]
+    g = w.scale_t.shape[-2]
+    group = k // g
+    lo = (w.packed & 0x0F).astype(jnp.int8)
+    hi = (w.packed >> 4).astype(jnp.int8)
+    lo = ((lo ^ 8) - 8).astype(jnp.float32)
+    hi = ((hi ^ 8) - 8).astype(jnp.float32)
+    ints = jnp.stack([lo, hi], axis=-2).reshape(*w.packed.shape[:-2], n2 * 2, k)
+    scale = jnp.swapaxes(w.scale_t, -1, -2).astype(jnp.float32)  # [N, G]
+    offs = jnp.swapaxes(w.offs_t, -1, -2).astype(jnp.float32)
+    dense = ints.reshape(*ints.shape[:-1], g, group) * scale[..., None] + offs[..., None]
+    return dense.reshape(*ints.shape[:-1], k).astype(dtype)
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4)  # [BN, BKH] signed, rows interleaved
+    acc = jax.lax.dot_general(
+        x_ref[:], w4.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [SUB, BN] — one row per quant group in this K step
+    scaled = acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    o_ref[0:1, :] += jnp.sum(scaled, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("subk",))
+def _matvec_call(xmask, packed, scale_t, subk: int):
+    n2, k = packed.shape
+    n = n2 * 2
+    sub = subk // GROUP  # group partials per K step
+    grid = (n // BN, k // subk)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((sub, subk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN // 2, subk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sub * n * k,
+            bytes_accessed=n2 * k + 2 * (k // GROUP) * n + sub * k,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xmask, packed, scale_t)
+
+
+def supported(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
+    n, k = w.shape
+    t = int(np.prod(x_shape[:-1])) if len(x_shape) > 1 else 1
+    return t == 1 and pick_subk(k) is not None and n % BN == 0 and w.packed.ndim == 2
+
+
+def q4k_matvec(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
+    """x [1, K] @ dequant(w).T -> [1, N] through the int4-stream kernel."""
+    n, k = w.shape
+    subk = pick_subk(k)
+    sub = subk // GROUP
+    xf = x.reshape(1, k).astype(jnp.float32)
+
+    # int8 activation quant (llama.cpp q8_1 analogue; same as int8_matmul)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    # group-masked copies fill the MXU rows: row c keeps lanes whose
+    # group-within-step is c, so one dot emits every group partial
+    lane_group = (jnp.arange(k, dtype=jnp.int32) % subk) // GROUP  # [K]
+    mask = (lane_group[None, :] == jnp.arange(sub, dtype=jnp.int32)[:, None]).astype(jnp.int8)
+    xmask = xq * mask  # [sub, K]
+
+    out = _matvec_call(xmask, w.packed, w.scale_t, subk)  # [8, N] f32, row 0 live
+
+    # asymmetric-offset term: sum_g offs[n, g] * (sum of x over group g)
+    xsum = xf.reshape(1, k // GROUP, GROUP).sum(axis=-1)  # [1, G] f32
+    y = out[0:1, :] * sx + jnp.dot(
+        xsum, w.offs_t.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return y.reshape(*x.shape[:-1], n).astype(x.dtype)

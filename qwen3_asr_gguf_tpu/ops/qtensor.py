@@ -114,7 +114,19 @@ def to_int8(w) -> Int8Weight:
 
 
 def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
-    """x [..., K] @ w.T -> [..., N]; w is Int8Weight, Q4Weight or dense [N, K]."""
+    """x [..., K] @ w.T -> [..., N]; w is Q4KMXUWeight, Int8Weight, Q4Weight
+    or dense [N, K]."""
+    from .pallas_q4k import Q4KMXUWeight, dequant_mxu, q4k_matvec, supported as q4k_ok
+
+    if isinstance(w, Q4KMXUWeight):
+        if q4k_ok(x.shape, w):
+            return q4k_matvec(x, w)  # decode matvec: int4 stream, exact q4_k
+        dense = dequant_mxu(w, dtype=x.dtype)  # prefill / batched fallback
+        return jax.lax.dot_general(
+            x, dense,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if isinstance(w, Int8Weight):
         return int8_matmul(x, w)
     if isinstance(w, Q4Weight):

@@ -50,7 +50,7 @@ class QwenForcedAligner:
 
         llm_path = os.path.join(model_dir, config.llm_fn)
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
-            llm_path, precision={"int4": "q4_k"}.get(config.precision, config.precision)
+            llm_path, precision=config.precision
         )
         self.dec_cfg = dec_cfg
         self.tokenizer = tokenizer

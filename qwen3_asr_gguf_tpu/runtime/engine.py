@@ -93,7 +93,7 @@ class QwenASREngine:
         # decoder ----------------------------------------------------------
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
             os.path.join(model_dir, config.llm_fn),
-            precision={"int4": "q4_k"}.get(config.precision, config.precision),
+            precision=config.precision,
         )
         dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
         self.dec_cfg = dec_cfg

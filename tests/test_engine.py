@@ -221,3 +221,36 @@ def test_engine_int8_precision_q4k_file(tmp_path):
     res = engine.asr(_audio(1.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
     assert isinstance(res.text, str)
     assert (d / "qwen3_asr_llm.q4_k.gguf.int8" / "final_norm.npy").exists()
+
+
+def test_engine_int4_precision_q4k_file(tmp_path):
+    """int4 compute (MXU q4_k matvec layout) from a q4_k GGUF — the decode
+    path streams 4-bit weights; on CPU the dense fallback covers it."""
+    from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+    import qwen3_asr_gguf_tpu.models.configs as C
+
+    thinker = C.ThinkerConfig(
+        audio=C.AudioEncoderConfig(
+            num_mel_bins=128, d_model=64, encoder_layers=1, encoder_attention_heads=4,
+            encoder_ffn_dim=128, downsample_hidden_size=32, output_dim=256,
+        ),
+        text=C.TextDecoderConfig(
+            vocab_size=512, hidden_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+            head_dim=64, intermediate_size=512,
+        ),
+    )
+    C.PRESETS["tiny-256"] = thinker
+    d = tmp_path / "q4ckpt"
+    make_synthetic_checkpoint(str(d), "tiny-256", quant="q4_k")
+    cfg = ASREngineConfig(
+        model_dir=str(d), precision="int4",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=8, decode_block=8,
+    )
+    engine = QwenASREngine(cfg)
+    res = engine.asr(_audio(1.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res.text, str)
+    assert (d / "qwen3_asr_llm.q4_k.gguf.int4" / "final_norm.npy").exists()
+    # sidecar reload path (mmap bf16 view)
+    engine2 = QwenASREngine(cfg)
+    res2 = engine2.asr(_audio(1.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
+    assert res2.text == res.text

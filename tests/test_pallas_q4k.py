@@ -1,0 +1,117 @@
+"""q4_k MXU-matvec kernel: layout, dequant exactness, kernel numerics.
+
+The kernel streams int4 weight bytes and applies the exact per-32-group
+q4_k scale/offset (reference quant semantics:
+/root/reference/qwen_asr_gguf/export/gguf/quants.py:475-522); these tests
+pin the host repack + XLA dequant bit-exactness against the PackedQ4
+oracle and the kernel (interpret mode on CPU) against a float reference.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_asr_gguf_tpu.formats import quants as q
+from qwen3_asr_gguf_tpu.ops import pallas_q4k as pq
+from qwen3_asr_gguf_tpu.ops.qtensor import matmul
+
+
+def _random_packed(n, k, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    return q.pack_q4_direct(w), w
+
+
+def test_dequant_mxu_vs_oracle():
+    """Same int values and group structure as the PackedQ4 oracle; the only
+    deviation is f16 scale / bf16 offset storage (<=0.4% of the scale,
+    far beneath the ~5% int4 quantization noise itself)."""
+    p, _ = _random_packed(64, 256)
+    dense_oracle = q.unpack_q4(p)
+    w = pq.from_packed_q4(p, pad=False)
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
+    scale_mag = np.abs(p.scale).max()
+    np.testing.assert_allclose(dense, dense_oracle, atol=15 * scale_mag * 2**-8)
+    # with f32 scale/offset the reconstruction is bit-exact
+    w32 = pq.Q4KMXUWeight(
+        packed=w.packed,
+        scale_t=jnp.asarray(np.ascontiguousarray(p.scale.T)),
+        offs_t=jnp.asarray(np.ascontiguousarray((8.0 * p.scale - p.minv).T)),
+    )
+    dense32 = np.asarray(pq.dequant_mxu(w32, dtype=jnp.float32))
+    np.testing.assert_allclose(dense32, dense_oracle, rtol=0, atol=1e-6)
+
+
+def test_pack_row_pair_layout():
+    p, _ = _random_packed(8, 64, seed=3)
+    rows, scale_t, offs_t = pq.pack_q4k_mxu(p)
+    assert rows.shape == (4, 64)
+    assert scale_t.shape == (2, 8) and offs_t.shape == (2, 8)
+    # low nibble = even channel, high nibble = odd channel, signed q-8
+    dense_oracle = q.unpack_q4(p)
+    lo = ((rows & 0xF).astype(np.int8) ^ 8) - 8
+    scale = scale_t.T.astype(np.float32)
+    offs = offs_t.T.astype(np.float32)
+    g = 64 // 32
+    rec0 = (lo[0].reshape(g, 32) * scale[0][:, None] + offs[0][:, None]).reshape(64)
+    np.testing.assert_allclose(rec0, dense_oracle[0], atol=15 * np.abs(p.scale).max() * 2**-8)
+
+
+def test_pad_rows_dequants_to_zero():
+    p, _ = _random_packed(6, 64, seed=1)
+    rows, scale_t, offs_t = pq.pack_q4k_mxu(p)
+    rows, scale_t, offs_t = pq.pad_rows(rows, scale_t, offs_t, multiple=16)
+    w = pq.Q4KMXUWeight(
+        packed=jnp.asarray(rows), scale_t=jnp.asarray(scale_t),
+        offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
+    )
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
+    assert dense.shape == (16, 64)
+    assert np.all(dense[6:] == 0.0)
+
+
+def test_matvec_kernel_interpret():
+    n, k = pq.BN, 1024  # one N tile, two K steps
+    p, _ = _random_packed(n, k, seed=7)
+    w = pq.from_packed_q4(p)
+    dense = q.unpack_q4(p)
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, k)) * 0.1).astype(np.float32)
+
+    y = np.asarray(pq.q4k_matvec(jnp.asarray(x), w))
+    ref = x @ dense.T
+    # activation int8 quant is the only approximation (same as int8 path)
+    cos = np.dot(y.ravel(), ref.ravel()) / (
+        np.linalg.norm(y) * np.linalg.norm(ref) + 1e-12
+    )
+    assert cos > 0.9995, cos
+    np.testing.assert_allclose(y, ref, atol=np.abs(ref).max() * 0.02)
+
+
+def test_matmul_dispatch_matvec_and_fallback():
+    n, k = pq.BN, 512
+    p, _ = _random_packed(n, k, seed=5)
+    w = pq.from_packed_q4(p)
+    dense = q.unpack_q4(p)
+    rng = np.random.default_rng(2)
+
+    x1 = (rng.standard_normal((1, k)) * 0.1).astype(np.float32)
+    y1 = np.asarray(matmul(jnp.asarray(x1), w))
+    np.testing.assert_allclose(y1, x1 @ dense.T, atol=np.abs(dense).max() * k * 0.002)
+
+    # prefill shape -> dense fallback (exact dequant, f32 matmul)
+    xT = (rng.standard_normal((4, k)) * 0.1).astype(np.float32)
+    yT = np.asarray(matmul(jnp.asarray(xT), w))
+    np.testing.assert_allclose(yT, xT @ dense.T, rtol=2e-2, atol=5e-4)
+
+
+def test_unsupported_shapes_fall_back():
+    # K not a multiple of 512 -> supported() false, dense path still correct
+    p, _ = _random_packed(32, 64, seed=9)
+    w = pq.from_packed_q4(p, pad=False)
+    assert not pq.supported((1, 64), w)
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
+    x = np.ones((1, 64), np.float32)
+    y = np.asarray(matmul(jnp.asarray(x), w))
+    np.testing.assert_allclose(y, x @ dense.T, rtol=2e-2, atol=1e-4)
