@@ -76,7 +76,9 @@ def main() -> None:
                                   aligner=True, seed=1)
         log(f"aligner checkpoint built in {time.time()-t0:.1f}s")
 
-    precision = "int8" if on_tpu else "f32"
+    # int4: decode streams 4-bit weights through the q4_k MXU matvec kernel
+    # (2.4 vs 3.25 ms/tok at the block level vs int8 on v5e)
+    precision = os.environ.get("QWEN3_BENCH_PREC", "int4") if on_tpu else "f32"
     t0 = time.time()
     # aligner enabled: the reference's headline 2.59 s wall INCLUDES forced
     # alignment (README align total 0.83 s), so ours must too
@@ -99,7 +101,10 @@ def main() -> None:
             align_config=AlignerConfig(
                 model_dir=str(cache),
                 llm_fn="qwen3_aligner_llm.q4_k.gguf",
-                precision=precision,
+                # the aligner is prefill-only (NAR sparse logits): int8 rides
+                # the MXU prefill path; int4's dense-dequant fallback has no
+                # matvec to win on
+                precision="int8" if on_tpu else precision,
                 n_ctx=2048,
             ),
         )

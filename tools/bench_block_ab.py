@@ -143,7 +143,10 @@ if __name__ == "__main__" and "--production" not in sys.argv:
 
 def bench_production() -> None:
     """Time the production Generator.decode_block in-process (same harness
-    that shows the raw while-loop at ~3.2 ms/tok)."""
+    that shows the raw while-loop at ~3.2 ms/tok). Precision via
+    QWEN3_BENCH_PREC (int8 default; int4 = q4_k MXU matvec kernel)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -153,9 +156,10 @@ def bench_production() -> None:
     from qwen3_asr_gguf_tpu.models import params as P
     from qwen3_asr_gguf_tpu.runtime.generate import Generator
 
+    prec = os.environ.get("QWEN3_BENCH_PREC", "int8")
     ckpt = REPO / ".bench_cache" / "qwen3-asr-1.7b" / "qwen3_asr_llm.q4_k.gguf"
-    print("loading decoder (int8)...", flush=True)
-    cfg, params, _ = P.load_decoder_gguf(str(ckpt), precision="int8")
+    print(f"loading decoder ({prec})...", flush=True)
+    cfg, params, _ = P.load_decoder_gguf(str(ckpt), precision=prec)
     params = P.fuse_layer_weights(params)
     gen = Generator(params, cfg, n_ctx=2048, block=64)
     print(f"fused_mlp={gen.fused_mlp}", flush=True)
