@@ -407,6 +407,18 @@ class QwenASREngine:
         memory: deque = deque(maxlen=memory_chunks)
         full_text = ""
         aligned_items: List[ForcedAlignItem] = []
+        # opt-in phase trace (QWEN3_ENGINE_TRACE=1): wall-clock per engine
+        # phase, for finding host/queue time that the stats dict's
+        # device-centric timers miss
+        trace_on = os.environ.get("QWEN3_ENGINE_TRACE", "0") != "0"
+        phases: list[tuple[str, float]] = []
+        _t_last = [time.time()]
+
+        def mark(name: str) -> None:
+            if trace_on:
+                now = time.time()
+                phases.append((name, now - _t_last[0]))
+                _t_last[0] = now
         stats = {
             "prefill_time": 0.0, "decode_time": 0.0,
             "prefill_tokens": 0, "decode_tokens": 0,
@@ -502,10 +514,12 @@ class QwenASREngine:
             return ""
 
         for i in range(num_chunks):
+            mark(f"c{i}.top")
             t_w = time.time()
             send_enc(i + 1)  # prefetch next before blocking on this one
             audio_feature = wait_enc(i)
             stats["wait_time"] += time.time() - t_w
+            mark(f"c{i}.enc")
 
             if i >= 1:
                 submit_align(i - 1)
@@ -538,10 +552,12 @@ class QwenASREngine:
                         kv_cache, src=start, dst=n_pre, block=a_full
                     )
                 ids, audio_mask = self._suffix_prompt_ids(n_valid_cur, suffix_tokens)
+                mark(f"c{i}.prompt")
                 res, kv_cache = self._safe_decode(
                     ids, audio_mask, audio_feature, rollback_num, is_last,
                     temperature, reuse=(kv_cache, start),
                 )
+                mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
             else:
                 combined = (
                     jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
@@ -556,9 +572,11 @@ class QwenASREngine:
                 ids, audio_mask = self._build_prompt_ids(
                     n_audio_prompt, prefix_text, context, language
                 )
+                mark(f"c{i}.prompt")
                 res, kv_cache = self._safe_decode(
                     ids, audio_mask, combined, rollback_num, is_last, temperature
                 )
+                mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
 
             segments[i].text = res.text
             memory.append((audio_feature, res.text))
@@ -568,12 +586,21 @@ class QwenASREngine:
             stats["decode_tokens"] += res.n_generate
             stats["decode_time"] += res.t_generate
 
+        mark("loop_end")
         if num_chunks >= 1:
             submit_align(num_chunks - 1)
         if align_pool is not None:
             for f in align_futs:
                 f.result()  # surface worker exceptions
             align_pool.shutdown()
+        mark("align_wait")
+        if trace_on:
+            import sys as _sys
+
+            print(
+                "engine trace: " + " | ".join(f"{n} {dt*1e3:.0f}ms" for n, dt in phases),
+                file=_sys.stderr, flush=True,
+            )
 
         aligned_items.sort(key=lambda x: x.start_time)
         t_total = time.time() - t_main
