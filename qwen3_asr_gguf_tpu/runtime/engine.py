@@ -89,12 +89,14 @@ class QwenASREngine:
             mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,
             warmup_sec=config.chunk_size if self.verbose else 0.0,
         )
+        logger.info("engine init: encoder up at +%.2fs", time.time() - t_init)
 
         # decoder ----------------------------------------------------------
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
             os.path.join(model_dir, config.llm_fn),
             precision=config.precision,
         )
+        logger.info("engine init: decoder loaded at +%.2fs", time.time() - t_init)
         dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
         self.dec_cfg = dec_cfg
         self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
@@ -108,6 +110,7 @@ class QwenASREngine:
             block=config.decode_block,
             cache_dtype=kv_dtype,
         )
+        logger.info("engine init: generator up at +%.2fs", time.time() - t_init)
 
         # aligner ----------------------------------------------------------
         # brought up on a background thread: its host-side GGUF/numpy work
@@ -268,7 +271,7 @@ class QwenASREngine:
             if packed is not None and n_gen + gen.block < max_new:
                 spec = gen.decode_block_dispatch(st, temperature)
                 latest = spec[0]
-            toks, finished = gen.collect_block(packed)
+            toks, finished, rep_aborted = gen.collect_block(packed)
             for tok in toks:
                 if n_gen >= max_new:
                     break
@@ -282,6 +285,11 @@ class QwenASREngine:
                 if len(stable_tokens) > 15 and len(set(stable_tokens[-15:])) <= 3:
                     result.is_aborted = True
                     break
+            # device-side repetition latch: the block exits ~15 tokens into a
+            # repetition loop instead of running to the block end; the host
+            # check above stays authoritative across block boundaries
+            if rep_aborted:
+                result.is_aborted = True
             if finished or n_gen >= max_new or result.is_aborted:
                 break
             if spec is None:

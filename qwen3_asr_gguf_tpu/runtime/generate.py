@@ -209,11 +209,11 @@ class Generator:
             emitted0 = jnp.full((block,), -1, jnp.int32)
 
             def cond(carry):
-                i, cache, pos, tok, key, done, emitted = carry
+                i, cache, pos, tok, key, done, aborted, emitted = carry
                 return (i < block) & jnp.logical_not(done)
 
             def body(carry):
-                i, cache, pos, tok, key, done, emitted = carry
+                i, cache, pos, tok, key, done, aborted, emitted = carry
                 embd = dec.embed_tokens(params, tok)
                 hidden, cache = dec.forward_step_layers(
                     layers_list, params["final_norm"], cfg, embd, cache, pos,
@@ -226,14 +226,33 @@ class Generator:
                     key, sub = jax.random.split(key)
                     nxt = sample_topk_topp(logits, sub, temperature).astype(jnp.int32)
                 emitted = emitted.at[i].set(tok)
-                done = jnp.any(nxt == eos)
-                return (i + 1, cache, pos + 1, nxt, key, done, emitted)
+                # on-device repetition latch (reference circuit breaker,
+                # asr.py:157-161: <=3 distinct in the last 15): exits the
+                # block after ~15 wasted tokens instead of the full block.
+                # The host re-checks exactly over the whole stable stream;
+                # this latch only sees the current block's emissions.
+                if block > 15:
+                    win = jax.lax.dynamic_slice(
+                        emitted, (jnp.maximum(i - 14, 0),), (15,)
+                    )
+                    eq = win[:, None] == win[None, :]
+                    first = jnp.sum(jnp.tril(eq, k=-1), axis=1) == 0
+                    distinct = jnp.sum(jnp.where(win >= 0, first, False))
+                    rep = (i >= 15) & (distinct <= 3)
+                else:
+                    rep = jnp.bool_(False)
+                aborted = aborted | rep
+                done = jnp.any(nxt == eos) | rep
+                return (i + 1, cache, pos + 1, nxt, key, done, aborted, emitted)
 
-            i, cache, pos, tok, key, done, emitted = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), cache, pos0, tok0, key, done0, emitted0)
+            i, cache, pos, tok, key, done, aborted, emitted = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), cache, pos0, tok0, key, done0, jnp.bool_(False), emitted0),
             )
-            # pack [emitted..., done] so the host fetches ONE tiny array
-            packed = jnp.concatenate([emitted, done.astype(jnp.int32)[None]])
+            # pack [emitted..., done, aborted] so the host fetches ONE tiny array
+            packed = jnp.concatenate(
+                [emitted, done.astype(jnp.int32)[None], aborted.astype(jnp.int32)[None]]
+            )
             return cache, pos, tok, key, done, packed
 
         return decode_block
@@ -403,12 +422,13 @@ class Generator:
         return new_state, packed
 
     @staticmethod
-    def collect_block(packed) -> tuple[list[int], bool]:
-        """(emitted_tokens, finished) from a dispatched block's packed array."""
+    def collect_block(packed) -> tuple[list[int], bool, bool]:
+        """(emitted_tokens, finished, rep_aborted) from a dispatched block's
+        packed array — one device->host fetch."""
         if packed is None:
-            return [], True
-        arr = np.asarray(packed)  # ONE device->host fetch per block
-        return [int(t) for t in arr[:-1] if t >= 0], bool(arr[-1])
+            return [], True, False
+        arr = np.asarray(packed)
+        return [int(t) for t in arr[:-2] if t >= 0], bool(arr[-2]), bool(arr[-1])
 
     def decode_block(self, state: GenState, temperature: float = 0.4) -> tuple[list[int], GenState, bool]:
         """Run up to `block` steps; returns (emitted_tokens, state, finished).
@@ -437,8 +457,8 @@ class Generator:
             win,
         )
         packed = np.asarray(packed)  # ONE device->host fetch per block
-        toks = [int(t) for t in packed[:-1] if t >= 0]
-        finished = bool(packed[-1])
+        toks = [int(t) for t in packed[:-2] if t >= 0]
+        finished = bool(packed[-2])
         new_state = GenState(
             cache=cache, pos=state.pos + self.block, last_token=tok, key=key, done=done
         )

@@ -100,3 +100,22 @@ def test_sparse_logits_match_full_prefill(params, rng):
     hidden, _ = dec.forward_prefill(params, CFG, jnp.asarray(embd), cache)
     ref = np.asarray(dec.lm_logits(params, hidden))[positions]
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_device_repetition_latch():
+    """A degenerate model (constant logits -> same greedy token forever)
+    must trip the on-device repetition latch (reference circuit breaker,
+    asr.py:157-161) and exit the block after ~15 tokens, flagging abort."""
+    params = dec.init_params(CFG, jax.random.key(3))
+    # zero the lm_head: logits constant -> greedy always emits token 0,
+    # which is never an EOS id
+    params = dict(params, lm_head=jnp.zeros_like(params["lm_head"]))
+    gen = Generator(params, CFG, n_ctx=256, block=64, cache_dtype=jnp.float32)
+    embd = np.random.default_rng(0).standard_normal((16, CFG.hidden_size)).astype(np.float32)
+    state = gen.start(embd, temperature=0.0)
+    state, packed = gen.decode_block_dispatch(state, temperature=0.0)
+    toks, finished, rep_aborted = gen.collect_block(packed)
+    assert rep_aborted
+    assert finished
+    # exited early: ~16 emissions, far fewer than the 64-token block
+    assert len(toks) < 32
