@@ -40,9 +40,10 @@ class QwenForcedAligner:
 
         enc_path = os.path.join(model_dir, config.encoder_fn)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
-        enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         if config.precision in ("q4_k", "int4", "int8"):
-            enc_params = P.quantize_encoder_params(enc_params)
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path)
+        else:
+            enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         self.encoder = EncoderRunner(
             enc_params, enc_cfg,
             mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,

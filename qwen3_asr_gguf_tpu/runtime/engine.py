@@ -78,11 +78,11 @@ class QwenASREngine:
         self.thinker = thinker
 
         # encoder ----------------------------------------------------------
-        enc_cfg, enc_params = P.load_encoder_safetensors(
-            os.path.join(model_dir, config.encoder_fn), as_numpy=True
-        )
+        enc_path = os.path.join(model_dir, config.encoder_fn)
         if config.precision in ("q4_k", "int4", "int8"):
-            enc_params = P.quantize_encoder_params(enc_params)
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path)
+        else:
+            enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
         self.encoder = EncoderRunner(
             enc_params, enc_cfg,
