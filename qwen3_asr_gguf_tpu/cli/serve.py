@@ -260,7 +260,7 @@ def make_handler(server: ASRServer):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="qwen3-asr-tpu-serve")
     p.add_argument("--model-dir", required=True)
-    p.add_argument("--prec", default="q4_k")
+    p.add_argument("--prec", default="int4")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--n-ctx", type=int, default=2048)

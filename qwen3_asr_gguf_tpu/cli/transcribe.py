@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("files", nargs="+", help="audio files to transcribe")
     p.add_argument("--model-dir", default=os.environ.get("QWEN3_ASR_MODEL_DIR", "model"),
                    help="checkpoint directory")
-    p.add_argument("--prec", default="q4_k", choices=["q4_k", "int4", "bf16", "f16", "f32"],
+    p.add_argument("--prec", default="int4", choices=["q4_k", "int4", "int8", "bf16", "f16", "f32"],
                    help="weight precision (reference --prec)")
     p.add_argument("--language", default=None, help="force language (30 supported)")
     p.add_argument("--context", default=None, help="system-prompt context biasing")
@@ -52,6 +52,7 @@ def _resolve_llm_fn(model_dir: str, prec: str) -> str:
     candidates = {
         "q4_k": "qwen3_asr_llm.q4_k.gguf",
         "int4": "qwen3_asr_llm.q4_k.gguf",
+        "int8": "qwen3_asr_llm.q4_k.gguf",
         "bf16": "qwen3_asr_llm.f16.gguf",
         "f16": "qwen3_asr_llm.f16.gguf",
         "f32": "qwen3_asr_llm.f32.gguf",

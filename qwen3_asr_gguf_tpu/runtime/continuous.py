@@ -9,7 +9,7 @@ and admits each request into any free KV-cache row as soon as one exists
 BASELINE.md 128-stream rows), with per-row temperature/greedy sampling.
 
 Device programs:
-  - `_prefill_row`: single-sequence spliced prefill written into row r of
+  - `_prefill_rows`: batched (cohort) spliced prefill written into rows of
     the batched caches (donated; one compile per prompt-length bucket);
   - `_decode_block`: K vmapped steps over all B rows with per-row
     position/temperature/EOS latch; ONE small host fetch per block.
@@ -56,6 +56,8 @@ class _Row:
 
 
 class ContinuousBatcher:
+    PREFILL_COHORT = 4  # requests admitted per batched prefill program
+
     def __init__(self, engine, *, max_batch: int = 8, block: int = 16,
                  max_new_tokens: Optional[int] = None):
         self.engine = engine
@@ -100,27 +102,6 @@ class ContinuousBatcher:
         eos = self.eos_ids
         block_n = self.block
 
-        @partial(jax.jit, donate_argnames=("caches",))
-        def prefill_row(params, ids, mask, audio, length, row, caches, key, temperature, greedy):
-            embd = dec.splice_prompt(params, ids, mask, audio)
-            cache = dec.init_cache(cfg, self.n_ctx, jnp.bfloat16)
-            hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
-            last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
-            logits = dec.lm_logits(params, last, cfg.lm_head_dim)
-            key, sub = jax.random.split(key)
-            tok = jnp.where(
-                greedy,
-                sample_greedy(logits).astype(jnp.int32),
-                sample_topk_topp(logits, sub, temperature).astype(jnp.int32),
-            )
-            caches = jax.tree.map(
-                lambda cs, c: jax.lax.dynamic_update_index_in_dim(
-                    cs, c.astype(cs.dtype), row, 0
-                ),
-                caches, cache,
-            )
-            return caches, tok, key
-
         def step_one(params, layers_list, cache, pos, tok, key, done, temp, greedy, attn_window):
             embd = dec.embed_tokens(params, tok)
             hidden, cache = dec.forward_step_layers(
@@ -159,18 +140,47 @@ class ContinuousBatcher:
             )  # [B, block+1]
             return caches, toks, keys, packed
 
-        @jax.jit
-        def set_tok(toks, row, tok):
-            return toks.at[row].set(tok)
+        @partial(jax.jit, static_argnames=("t_pad",), donate_argnames=("caches",))
+        def prefill_rows(params, ids, mask, audio, lengths, rows, caches, keys,
+                         temperatures, greedys, t_pad: int):
+            """Batched admission: P spliced prefills in one program (vmapped),
+            each written into its target KV row. Admission cost — not decode —
+            is the serving-throughput ceiling (decode amortizes over the
+            batch; prefill and encode do not), so prefills batch too."""
+
+            def one(ids1, mask1, audio1, length, key, temperature, greedy):
+                embd = dec.splice_prompt(params, ids1, mask1, audio1)
+                cache = dec.init_cache(cfg, t_pad, jnp.bfloat16)
+                hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
+                last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
+                logits = dec.lm_logits(params, last, cfg.lm_head_dim)
+                key, sub = jax.random.split(key)
+                tok = jnp.where(
+                    greedy,
+                    sample_greedy(logits).astype(jnp.int32),
+                    sample_topk_topp(logits, sub, temperature).astype(jnp.int32),
+                )
+                return cache, tok, key
+
+            new_caches, toks, keys = jax.vmap(one)(
+                ids, mask, audio, lengths, keys, temperatures, greedys
+            )
+            # one scatter per cache leaf (duplicate pad rows rewrite
+            # harmlessly); P sequential whole-leaf dynamic_update_slice
+            # calls measured as full-cache copies, 2x slower end-to-end
+            caches = jax.tree.map(
+                lambda cs, c: cs.at[rows, : c.shape[1]].set(c.astype(cs.dtype)),
+                caches, new_caches,
+            )
+            return caches, toks, keys
 
         @jax.jit
-        def set_key(keys, row, key):
-            return keys.at[row].set(key)
+        def set_rows(arr, rows, vals):
+            return arr.at[rows].set(vals)
 
-        self._prefill_row = prefill_row
+        self._prefill_rows = prefill_rows
         self._decode_block = decode_block
-        self._set_tok = set_tok
-        self._set_key = set_key
+        self._set_rows = set_rows
 
     # -- public API ------------------------------------------------------------
 
@@ -214,40 +224,70 @@ class ContinuousBatcher:
 
     # -- worker ------------------------------------------------------------------
 
-    def _admit(self, row_idx: int, req: _Request) -> None:
-        eng = self.engine
-        a = req.audio
-        n_valid = eng.encoder.valid_tokens(len(a))
-        if len(a) < self.chunk_samples:
-            a = np.pad(a, (0, self.chunk_samples - len(a)))
-        embd = eng.encoder.encode_async(a)[: eng.encoder.valid_tokens(self.chunk_samples)]
-        ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
-        t = len(ids)
-        padded = min(round_up(t, 128), self.n_ctx)
-        ids_p = np.zeros(padded, np.int32)
-        ids_p[:t] = ids
-        mask_p = np.zeros(padded, bool)
-        mask_p[:t] = mask
+    def _admit_batch(self, row_idxs: list, reqs: list) -> None:
+        """Admit up to PREFILL_COHORT requests with ONE batched prefill
+        program. Admission cost is the serving ceiling — decode amortizes
+        over the batch; encode+prefill do not — so cohorts of pending
+        requests prefill together. The cohort pads to a fixed size with
+        duplicates of the first request (scattered into the same row, a
+        harmless rewrite) to bound compiled shapes.
 
-        greedy = req.temperature <= 0.0
-        key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-        self.caches, tok, key = self._prefill_row(
-            self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), embd,
-            jnp.int32(t), jnp.int32(row_idx), self.caches, key,
-            jnp.float32(max(req.temperature, 1e-6)), jnp.asarray(greedy),
+        Audio encodes at its own mel bucket (5 s steps), not the full 40 s
+        chunk shape — a 10 s request was paying 4x encoder compute."""
+        eng = self.engine
+        p_real = len(reqs)
+        target_p = 1 if p_real == 1 else self.PREFILL_COHORT
+        pad_reqs = reqs + [reqs[0]] * (target_p - p_real)
+        pad_rows = list(row_idxs) + [row_idxs[0]] * (target_p - p_real)
+
+        embds, ids_list, mask_list, lens = [], [], [], []
+        for req in pad_reqs:
+            a = req.audio
+            n_valid = eng.encoder.valid_tokens(len(a))
+            embds.append(eng.encoder.encode_async(a))
+            ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
+            ids_list.append(ids)
+            mask_list.append(mask)
+            lens.append(len(ids))
+
+        t_pad = min(round_up(max(lens), 128), self.n_ctx)
+        a_pad = max(int(e.shape[0]) for e in embds)
+        ids_p = np.zeros((target_p, t_pad), np.int32)
+        mask_p = np.zeros((target_p, t_pad), bool)
+        for i in range(target_p):
+            ids_p[i, : lens[i]] = ids_list[i][:t_pad]
+            mask_p[i, : lens[i]] = mask_list[i][:t_pad]
+        audio = jnp.stack([
+            jnp.pad(e, ((0, a_pad - e.shape[0]), (0, 0))) if e.shape[0] < a_pad else e
+            for e in embds
+        ])
+
+        greedys = np.asarray([r.temperature <= 0.0 for r in pad_reqs])
+        temps = np.asarray([max(r.temperature, 1e-6) for r in pad_reqs], np.float32)
+        keys = jax.random.split(
+            jax.random.key(int(np.random.randint(0, 2**31 - 1))), target_p
         )
-        self.toks = self._set_tok(self.toks, jnp.int32(row_idx), tok)
-        self.keys = self._set_key(self.keys, jnp.int32(row_idx), key)
-        row = self.rows[row_idx]
-        row.req = req
-        row.tokens = []
-        row.pos = t
-        row.started_at = time.time()
-        self.poss[row_idx] = t
-        self.temps[row_idx] = max(req.temperature, 1e-6)
-        self.greedy[row_idx] = greedy
-        self.dones[row_idx] = False
-        self.n_admitted += 1
+        rows_arr = jnp.asarray(pad_rows, dtype=jnp.int32)
+        self.caches, toks, keys = self._prefill_rows(
+            self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), audio,
+            jnp.asarray(lens, dtype=jnp.int32), rows_arr, self.caches, keys,
+            jnp.asarray(temps), jnp.asarray(greedys), t_pad,
+        )
+        self.toks = self._set_rows(self.toks, rows_arr, toks)
+        self.keys = self._set_rows(self.keys, rows_arr, keys)
+        for i in range(p_real):
+            row_idx = row_idxs[i]
+            req = reqs[i]
+            row = self.rows[row_idx]
+            row.req = req
+            row.tokens = []
+            row.pos = lens[i]
+            row.started_at = time.time()
+            self.poss[row_idx] = lens[i]
+            self.temps[row_idx] = max(req.temperature, 1e-6)
+            self.greedy[row_idx] = req.temperature <= 0.0
+            self.dones[row_idx] = False
+            self.n_admitted += 1
 
     def _retire(self, row_idx: int) -> None:
         row = self.rows[row_idx]
@@ -272,19 +312,20 @@ class ContinuousBatcher:
 
     def _loop(self) -> None:
         while not self._stop:
-            # admit pending requests into free rows
+            # admit pending requests into free rows, a prefill cohort at a time
             while True:
                 with self._lock:
                     free = [i for i, r in enumerate(self.rows) if r.req is None]
-                    if not free or not self._pending:
+                    take = min(len(free), len(self._pending), self.PREFILL_COHORT)
+                    if take == 0:
                         break
-                    req = self._pending.pop(0)
-                row_idx = free[0]
+                    reqs = [self._pending.pop(0) for _ in range(take)]
                 try:
-                    self._admit(row_idx, req)
+                    self._admit_batch(free[:take], reqs)
                 except Exception as e:
-                    req.error = e
-                    req.done_evt.set()
+                    for req in reqs:
+                        req.error = e
+                        req.done_evt.set()
 
             active = [i for i, r in enumerate(self.rows) if r.req is not None]
             if not active:

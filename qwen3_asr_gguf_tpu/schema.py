@@ -69,8 +69,8 @@ class AlignerConfig:
     encoder_fn: str = "qwen3_aligner_encoder.safetensors"
     llm_fn: str = "qwen3_aligner_llm.q4_k.gguf"
     n_ctx: int = 2048
-    # decoder compute precision: "int8" (MXU-native, fastest decode) |
-    # "q4_k" (packed int4 pallas, lowest HBM) | "bf16" | "f32"
+    # decoder compute precision: "int8" (MXU prefill path — right for the
+    # aligner's NAR single-prefill workload) | "int4" | "q4_k" | "bf16" | "f32"
     precision: str = "int8"
     use_dml: bool = False  # accepted & ignored (reference API compatibility)
 
@@ -88,7 +88,9 @@ class ASREngineConfig:
     verbose: bool = True
     enable_aligner: bool = False
     align_config: Optional[AlignerConfig] = None
-    precision: str = "int8"
+    # "int4": decode streams 4-bit q4_k weights through the MXU matvec
+    # kernel (fastest, ops/pallas_q4k.py); "int8": per-channel MXU path
+    precision: str = "int4"
     use_dml: bool = False  # accepted & ignored (reference API compatibility)
     # TPU-specific knobs
     max_new_tokens: int = 512

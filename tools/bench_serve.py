@@ -67,9 +67,19 @@ def main() -> None:
         for i in range(8)
     ]
 
-    # warmup: compile prefill bucket + decode window buckets
+    # warmup: compile prefill cohort shapes (single + full cohort) and the
+    # decode window buckets
     t0 = time.time()
-    cb.submit(audios[0], language="Chinese", temperature=0.0)
+    cb.submit(audios[0], language="Chinese", temperature=0.0, timeout=2400.0)
+    warm_threads = [
+        threading.Thread(target=cb.submit, args=(audios[i % len(audios)],),
+                         kwargs=dict(language="Chinese", temperature=0.0, timeout=2400.0))
+        for i in range(cb.PREFILL_COHORT)
+    ]
+    for th in warm_threads:
+        th.start()
+    for th in warm_threads:
+        th.join()
     print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     latencies: list = []
@@ -82,7 +92,7 @@ def main() -> None:
     def one(i):
         with sem:
             t0 = time.time()
-            cb.submit(audios[i % len(audios)], language="Chinese", temperature=0.0)
+            cb.submit(audios[i % len(audios)], language="Chinese", temperature=0.0, timeout=2400.0)
             with lat_lock:
                 latencies.append(time.time() - t0)
 
