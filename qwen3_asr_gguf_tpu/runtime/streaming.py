@@ -78,9 +78,27 @@ class StreamingTranscriber:
     def _decode_accum(self, state: StreamingState) -> None:
         if state.accum.size < self.chunk_samples // 4:
             return
-        prefix = self._prefix_text(state)
+        prefix_full = self._prefix_text(state)
         embd_padded = self.engine.encoder.encode_async(state.accum)
         n_audio = self.engine.encoder.valid_tokens(int(state.accum.shape[-1]))
+        # n_ctx budget: the decode PROMPT drops the oldest carried prefix
+        # text if header + audio + prefix + generation headroom would
+        # overflow (the official stack rides vLLM's large context,
+        # qwen3_asr.py:731-747; a fixed-n_ctx engine must trim — same
+        # policy as the engine's chunk loop). The transcript keeps
+        # everything: the trimmed prefix is a suffix of the full one, so
+        # the continuation still concatenates exactly.
+        eng = self.engine
+        headroom = min(eng.config.max_new_tokens, 256)
+        header, suffix_head = eng._prompt_parts("", self.context, self.language)
+        budget = max(
+            eng.config.n_ctx - headroom - len(header) - len(suffix_head) - n_audio, 0
+        )
+        ptoks_full = eng.model.encode(prefix_full) if prefix_full else []
+        prefix = prefix_full
+        if len(ptoks_full) > budget:
+            kept = ptoks_full[len(ptoks_full) - budget:]
+            prefix = eng.model.decode(kept).lstrip("�") if kept else ""
         ids, mask = self.engine._build_prompt_ids(
             n_audio, prefix, self.context, self.language
         )
@@ -91,10 +109,9 @@ class StreamingTranscriber:
             ids, mask, embd_padded,
             rollback_num=0, is_last_chunk=True, temperature=self.temperature,
         )
-        prefix_tokens = self.engine.model.encode(prefix) if prefix else []
-        state.tokens = prefix_tokens + res.stable_tokens
-        state.fixed_prefix = prefix
-        state.text = prefix + res.text
+        state.tokens = ptoks_full + res.stable_tokens
+        state.fixed_prefix = prefix_full
+        state.text = prefix_full + res.text
 
     # -- public API ----------------------------------------------------------
 

@@ -91,3 +91,21 @@ def test_finish_flushes_tail(engine):
     assert state.chunks_seen == 0
     st.finish(state)
     assert state.chunks_seen == 1  # tail decoded without padding
+
+
+def test_stream_prefix_trims_to_ctx_budget(engine):
+    """A session whose carried transcript outgrows n_ctx must trim the
+    decode prompt (oldest text first) instead of overflowing — regression
+    for the prompt-of-N-exceeds-n_ctx crash at long accumulations. The
+    transcript itself keeps the full history."""
+    st = StreamingTranscriber(engine, chunk_size_sec=1.0, unfixed_chunk_num=1,
+                              unfixed_token_num=0, language="English",
+                              temperature=0.0)
+    state = st.init_state()
+    state.accum = _audio(1.0)
+    state.chunks_seen = 2
+    # fabricate an oversized carried transcript (> n_ctx tokens)
+    state.tokens = [100 + (i % 50) for i in range(engine.config.n_ctx + 200)]
+    st._decode_accum(state)  # must not raise
+    assert len(state.tokens) >= engine.config.n_ctx + 200  # history kept
+    assert state.text  # transcript includes the full carried prefix

@@ -46,7 +46,7 @@ def main() -> None:
     t0 = time.time()
     engine = QwenASREngine(ASREngineConfig(
         model_dir=str(ckpt), llm_fn="qwen3_asr_llm.q4_k.gguf",
-        precision="int8" if on_tpu else "f32",
+        precision="int4" if on_tpu else "f32",
         n_ctx=2048, chunk_size=40.0, verbose=False,
         max_new_tokens=args.max_new, enable_aligner=False,
     ))
