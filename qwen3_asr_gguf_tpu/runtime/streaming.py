@@ -127,6 +127,7 @@ class StreamingTranscriber:
             eng = self.engine
             saved = eng.config.max_new_tokens
             eng.config.max_new_tokens = 1  # compile prefill, not generation
+            saved_temp = self.temperature
             try:
                 seen = set()
                 n = self.chunk_samples
@@ -138,13 +139,20 @@ class StreamingTranscriber:
                     if key not in seen:
                         seen.add(key)
                         silence = np.zeros(n, np.float32)
-                        st = self.init_state()
-                        st.accum = silence
-                        st.chunks_seen = 0
-                        self._decode_accum(st)
+                        # both sampling variants: greedy AND temperature>0
+                        # (the circuit-breaker retry path escalates
+                        # temperature — an unwarmed non-greedy program would
+                        # stall a live session mid-retry)
+                        for temp in dict.fromkeys((saved_temp, 0.4)):
+                            self.temperature = temp
+                            st = self.init_state()
+                            st.accum = silence
+                            st.chunks_seen = 0
+                            self._decode_accum(st)
                     n += self.chunk_samples
             finally:
                 eng.config.max_new_tokens = saved
+                self.temperature = saved_temp
 
         if background:
             import threading
