@@ -225,15 +225,29 @@ class QwenASREngine:
         is_last_chunk: bool = False,
         temperature: float = 0.4,
         reuse=None,  # (cache, start): KV prefix reuse for chunks >= 2
+        retry_cache=None,  # cache of a FAILED attempt over the same prompt
     ) -> tuple[DecodeResult, object]:
         """One chunk generation with rollback + circuit breaker
         (reference asr.py:106-191). Returns (result, final KV cache) so the
-        next chunk can reuse the [header | memory-audio] prefix."""
+        next chunk can reuse the [header | memory-audio] prefix.
+
+        `retry_cache`: a circuit-breaker retry re-samples the SAME prompt at
+        a higher temperature — its prompt KV is already valid in the failed
+        attempt's cache, so only the last prompt position re-prefills (the
+        reference re-decodes the whole prompt each retry, asr.py:193-209;
+        identical logits either way)."""
         result = DecodeResult()
         result.n_prefill = int(ids.shape[0])
 
         t0 = time.time()
-        if reuse is None:
+        if retry_cache is not None:
+            base = reuse[1] if reuse is not None else 0
+            plen = base + int(ids.shape[0])
+            state = self.generator.start_spliced_at(
+                ids[-1:], np.zeros(1, dtype=bool), audio_embd,
+                start=plen - 1, cache=retry_cache, temperature=temperature,
+            )
+        elif reuse is None:
             state = self.generator.start_spliced(
                 ids, audio_mask, audio_embd, temperature=temperature
             )
@@ -328,13 +342,15 @@ class QwenASREngine:
         """Circuit-breaker retry with temperature escalation (asr.py:193-209)."""
         res = DecodeResult()
         cache = reuse[0] if reuse is not None else None
-        for _ in range(4):
-            # a retry re-prefills the same span; the reused prefix rows
-            # [0, start) are untouched by the failed attempt
+        for attempt in range(4):
+            # retries re-sample the SAME prompt: its KV is already in the
+            # failed attempt's cache, so only the last prompt position
+            # re-prefills (reference re-decodes the full prompt each time)
             r = reuse if reuse is None else (cache, reuse[1])
             res, cache = self._decode(
                 ids, audio_mask, audio_embd, rollback_num, is_last_chunk,
                 temperature, reuse=r,
+                retry_cache=cache if attempt > 0 else None,
             )
             if not res.is_aborted:
                 break

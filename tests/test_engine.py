@@ -254,3 +254,32 @@ def test_engine_int4_precision_q4k_file(tmp_path):
     engine2 = QwenASREngine(cfg)
     res2 = engine2.asr(_audio(1.0), None, "English", chunk_size_sec=2.0, temperature=0.0)
     assert res2.text == res.text
+
+
+def test_retry_cache_reprefill_equivalence(model_dir):
+    """A circuit-breaker retry re-prefills only the last prompt position on
+    the failed attempt's cache; greedy output must match a full re-prefill
+    exactly (identical logits either way)."""
+    import numpy as np
+
+    cfg = ASREngineConfig(
+        model_dir=model_dir, llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=8, decode_block=8,
+    )
+    engine = QwenASREngine(cfg)
+    audio = _audio(1.0)
+    embd = engine.encoder.encode_async(np.pad(audio, (0, 16000)))
+    n_audio = engine.encoder.valid_tokens(len(audio))
+    ids, mask = engine._build_prompt_ids(n_audio, "", "", "English")
+
+    res1, cache1 = engine._decode(ids, mask, embd, rollback_num=0,
+                                  is_last_chunk=True, temperature=0.0)
+    # full re-prefill (fresh cache)
+    res2, _ = engine._decode(ids, mask, embd, rollback_num=0,
+                             is_last_chunk=True, temperature=0.0)
+    # 1-token retry re-prefill on the previous attempt's cache
+    res3, _ = engine._decode(ids, mask, embd, rollback_num=0,
+                             is_last_chunk=True, temperature=0.0,
+                             retry_cache=cache1)
+    assert res2.stable_tokens == res1.stable_tokens
+    assert res3.stable_tokens == res1.stable_tokens
