@@ -116,13 +116,13 @@ def main() -> None:
 
     # warmup: compile all programs on a short clip + one full-shape chunk
     t0 = time.time()
-    engine.asr(audio[: 16_000 * 41], context="", language="Chinese", temperature=0.0)
+    engine.asr(audio[: 16_000 * 41], context="", language="Chinese", temperature=0.4)
     log(f"warmup (compile) {time.time()-t0:.1f}s")
 
     results = []
     for _ in range(3 if on_tpu else 1):
         t0 = time.time()
-        res = engine.asr(audio, context="", language="Chinese", temperature=0.0)
+        res = engine.asr(audio, context="", language="Chinese", temperature=0.4)
         wall = time.time() - t0
         results.append((wall, res.performance))
 
