@@ -320,6 +320,26 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     }
 
 
+def dequant_prefill_params(params: dict) -> dict:
+    """One-time bf16 dense copy of int4 layer weights for PREFILL programs.
+
+    Prefill is MXU-compute-bound; running it through Q4KMXU containers made
+    every prefill call re-materialize the dequantized weights (~50-80 ms on
+    v5e). Dequanting once at init trades ~2.8 GB HBM for that per-call cost.
+    Embed, norms and the lm_head (a matvec at one row — the int4 kernel
+    path) are shared with the decode params by reference."""
+    from ..ops.pallas_q4k import Q4KMXUWeight, dequant_mxu
+
+    @jax.jit
+    def _dense(layers):
+        return {
+            k: dequant_mxu(v, dtype=jnp.bfloat16) if isinstance(v, Q4KMXUWeight) else v
+            for k, v in layers.items()
+        }
+
+    return dict(params, layers=_dense(params["layers"]))
+
+
 def save_decoder_gguf(
     path: str,
     cfg: TextDecoderConfig,

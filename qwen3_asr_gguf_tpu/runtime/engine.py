@@ -103,12 +103,19 @@ class QwenASREngine:
         kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}[
             config.kv_cache_dtype if config.precision != "f32" else "f32"
         ]
+        # int4: prefill runs through a one-time bf16 dequant of the layer
+        # weights (prefill is MXU-bound; per-call dense-dequant of the int4
+        # containers cost ~50-80 ms per chunk), decode keeps streaming 4-bit
+        prefill_params = (
+            P.dequant_prefill_params(dec_params) if config.precision == "int4" else None
+        )
         self.generator = Generator(
             dec_params, dec_cfg,
             n_ctx=config.n_ctx,
             eos_ids=thinker.eos_token_ids,
             block=config.decode_block,
             cache_dtype=kv_dtype,
+            prefill_params=prefill_params,
         )
         logger.info("engine init: generator up at +%.2fs", time.time() - t_init)
 

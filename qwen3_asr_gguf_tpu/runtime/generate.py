@@ -70,8 +70,15 @@ class Generator:
         cache_dtype=jnp.bfloat16,
         bucket: int = 128,
         block: int = 64,
+        prefill_params: dict | None = None,
     ):
         self.params = params
+        # prefill may run through a different weight representation than the
+        # decode matvecs: with int4 weights the per-call dense-dequant
+        # materialization costs ~50-80 ms per prefill; a one-time bf16
+        # dequant at init (engine passes it here) removes that while decode
+        # keeps streaming 4-bit
+        self.prefill_params = prefill_params if prefill_params is not None else params
         self.cfg = cfg
         self.n_ctx = n_ctx
         self.eos_ids = jnp.asarray(list(eos_ids), dtype=jnp.int32)
@@ -290,7 +297,7 @@ class Generator:
         cache = cache if cache is not None else self.new_cache()
         greedy = temperature <= 0.0
         cache, tok, key = self._prefill_jit(
-            self.params,
+            self.prefill_params,
             jnp.asarray(embd),
             jnp.int32(t),
             cache,
@@ -331,7 +338,7 @@ class Generator:
         cache = cache if cache is not None else self.new_cache()
         greedy = temperature <= 0.0
         cache, tok, key = self._spliced_prefill_jit(
-            self.params,
+            self.prefill_params,
             jnp.asarray(ids_p),
             jnp.asarray(mask_p),
             audio_embd,
@@ -378,7 +385,7 @@ class Generator:
         key = jax.random.key(seed)
         greedy = temperature <= 0.0
         cache, tok, key = self._spliced_prefill_at_jit(
-            self.params,
+            self.prefill_params,
             jnp.asarray(ids_p),
             jnp.asarray(mask_p),
             audio_embd,
