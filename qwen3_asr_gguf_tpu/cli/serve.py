@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import re
+import sys
 import tempfile
 import threading
 import time
@@ -282,6 +283,12 @@ def main(argv=None) -> int:
 
     llm_fn = args.llm_fn or _resolve_llm_fn(args.model_dir, args.prec)
     precision = {"f16": "bf16"}.get(args.prec, args.prec)
+    if precision == "int4" and args.max_batch > 1:
+        # the int4 matvec kernel is single-row; batched decode would fall
+        # back to per-step dense-dequant. int8 rides the MXU at any batch.
+        print("[info] batched serving uses precision=int8 (int4 kernel is "
+              "single-stream)", file=sys.stderr)
+        precision = "int8"
     cfg = ASREngineConfig(
         model_dir=args.model_dir, llm_fn=llm_fn, precision=precision,
         n_ctx=args.n_ctx, chunk_size=args.chunk_size, verbose=False,
