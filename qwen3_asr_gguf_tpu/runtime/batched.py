@@ -177,8 +177,13 @@ class BatchedEngine:
 
     def __init__(self, engine, *, block: int = 32):
         self.engine = engine
+        # int4 engines expose bf16 prefill_params: the int4 matvec kernel is
+        # single-stream, so batched programs run dense bf16 (one weight
+        # stream amortized over the batch) instead of falling back to
+        # per-step dense-dequant of the packed containers
+        params = engine.generator.prefill_params
         self.gen = BatchedGenerator(
-            engine.generator.params, engine.dec_cfg,
+            params, engine.dec_cfg,
             n_ctx=engine.config.n_ctx,
             eos_ids=engine.thinker.eos_token_ids,
             block=block,

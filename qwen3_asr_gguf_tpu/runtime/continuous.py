@@ -62,14 +62,24 @@ class ContinuousBatcher:
                  max_new_tokens: Optional[int] = None):
         self.engine = engine
         self.cfg = engine.dec_cfg
-        self.params = engine.generator.params
+        # int4 engines expose bf16 prefill_params — batched prefills can't
+        # ride the single-stream int4 matvec kernel, and the dense fallback
+        # would re-dequantize the packed containers per call
+        self.params = engine.generator.prefill_params
         self.n_ctx = engine.config.n_ctx
         self.b = max_batch
         self.block = block
         self.max_new_tokens = max_new_tokens or engine.config.max_new_tokens
         self.eos_ids = jnp.asarray(list(engine.thinker.eos_token_ids), dtype=jnp.int32)
         self.chunk_samples = int(engine.config.chunk_size * SAMPLE_RATE)
-        self.layers_list = engine.generator.layers_list  # pre-unstacked weights
+        if self.params is engine.generator.params:
+            self.layers_list = engine.generator.layers_list  # pre-unstacked
+        else:
+            # int4 engine: decode through the same dense bf16 weights as the
+            # prefill (the batched step can't ride the single-stream kernel)
+            self.layers_list = jax.jit(
+                lambda ls: dec.unstack_layers(ls, self.cfg.num_layers)
+            )(self.params["layers"])
 
         self._build_programs()
 
