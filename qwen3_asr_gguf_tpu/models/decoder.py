@@ -470,46 +470,44 @@ def forward_step_layers(
     win = s_max if attn_window is None else min(attn_window, s_max)
     scale = cfg.head_dim ** -0.5
     cos, sin = rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
-    valid = jnp.concatenate(
-        [jnp.arange(win, dtype=jnp.int32) < pos, jnp.ones((1,), dtype=bool)]
-    )[None, :]
+    # write-then-attend: the new K/V scatter into the cache BEFORE the
+    # attention read, so the window read covers them (pos < win always —
+    # the caller buckets win above pos+1) and no [win+1] concat copy is
+    # ever materialized (the concat cost ~2 x 4 MB per layer per token)
+    valid = (jnp.arange(win, dtype=jnp.int32) <= pos)[None, :]
+    dt = cache["k"][0].dtype
+    int8_kv = dt == jnp.int8
 
     h = embd[None, :]
-    new_ks, new_vs = [], []
+    out: dict[str, list] = {"k": [], "v": []}
+    if int8_kv:
+        out["k_s"] = []
+        out["v_s"] = []
     for l, layer in enumerate(layer_list):
         attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
-        k_win, v_win = _read_cache_window(cache, l, win, k.dtype)
-        k_all = jnp.concatenate([k_win, k], axis=0)
-        v_all = jnp.concatenate([v_win, v], axis=0)
-        attn = _gqa_attention(q, k_all, v_all, valid, scale)
+        if int8_kv:
+            kq, ksc = _quant_kv(k)
+            vq, vsc = _quant_kv(v)
+            k_c = jax.lax.dynamic_update_slice(cache["k"][l], kq, (pos, 0, 0))
+            v_c = jax.lax.dynamic_update_slice(cache["v"][l], vq, (pos, 0, 0))
+            ks_c = jax.lax.dynamic_update_slice(cache["k_s"][l], ksc, (pos, 0))
+            vs_c = jax.lax.dynamic_update_slice(cache["v_s"][l], vsc, (pos, 0))
+            out["k_s"].append(ks_c)
+            out["v_s"].append(vs_c)
+            layer_cache = {"k": [k_c], "v": [v_c], "k_s": [ks_c], "v_s": [vs_c]}
+        else:
+            k_c = jax.lax.dynamic_update_slice(cache["k"][l], k.astype(dt), (pos, 0, 0))
+            v_c = jax.lax.dynamic_update_slice(cache["v"][l], v.astype(dt), (pos, 0, 0))
+            layer_cache = {"k": [k_c], "v": [v_c]}
+        out["k"].append(k_c)
+        out["v"].append(v_c)
+        k_win, v_win = _read_cache_window(layer_cache, 0, win, k.dtype)
+        attn = _gqa_attention(q, k_win, v_win, valid, scale)
         h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
         mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(layer, mlp_in, fused_kernel=fused_mlp)
-        new_ks.append(k)
-        new_vs.append(v)
-    dt = cache["k"][0].dtype
-    if dt == jnp.int8:
-        out = {"k": [], "v": [], "k_s": [], "v_s": []}
-        for l in range(len(cache["k"])):
-            kq, ksc = _quant_kv(new_ks[l])
-            vq, vsc = _quant_kv(new_vs[l])
-            out["k"].append(jax.lax.dynamic_update_slice(cache["k"][l], kq, (pos, 0, 0)))
-            out["v"].append(jax.lax.dynamic_update_slice(cache["v"][l], vq, (pos, 0, 0)))
-            out["k_s"].append(jax.lax.dynamic_update_slice(cache["k_s"][l], ksc, (pos, 0)))
-            out["v_s"].append(jax.lax.dynamic_update_slice(cache["v_s"][l], vsc, (pos, 0)))
-        cache = out
-    else:
-        cache = {
-            "k": [
-                jax.lax.dynamic_update_slice(c, new_ks[l].astype(dt), (pos, 0, 0))
-                for l, c in enumerate(cache["k"])
-            ],
-            "v": [
-                jax.lax.dynamic_update_slice(c, new_vs[l].astype(dt), (pos, 0, 0))
-                for l, c in enumerate(cache["v"])
-            ],
-        }
+    cache = out
     h = rms_norm(h, final_norm, cfg.rms_norm_eps)
     return h[0], cache
 
