@@ -42,6 +42,62 @@ _LAYER_MAP = {
 _QUANTIZABLE = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
 
 
+_SIDECAR_MARKER = "__complete"
+
+
+def _sidecar_load(
+    sidecar_dir: Path, src_mtime: float, expected: set[str] | None = None
+) -> dict[str, np.ndarray] | None:
+    """Load a per-tensor .npy sidecar dir iff it is complete and fresh.
+
+    Completeness is proven by a marker file written LAST (after every
+    np.save): an interrupted save can leave final_norm.npy on disk before
+    the lm_head tensors, so any data file is an unsafe freshness witness.
+    Marker-less dirs from older versions migrate iff every `expected`
+    tensor file is present and fresh."""
+    marker = sidecar_dir / _SIDECAR_MARKER
+    if not (marker.exists() and marker.stat().st_mtime >= src_mtime):
+        if expected is None:
+            return None
+        files = {p.name: p for p in sidecar_dir.glob("*.npy")}
+        want = {f"{k.replace('.', '__')}.npy" for k in expected}
+        if not want <= files.keys():
+            return None
+        if any(files[n].stat().st_mtime < src_mtime for n in want):
+            return None
+        try:
+            marker.touch()
+        except OSError:
+            pass
+    return {
+        f.stem.replace("__", "."): np.load(f, mmap_mode="r")
+        for f in sidecar_dir.glob("*.npy")
+    }
+
+
+def _sidecar_expected(kind: str) -> set[str]:
+    """The full tensor-key set a {int8|int4} sidecar must contain."""
+    quant_suffixes = {"int8": ("q", "scale"), "int4": ("packed", "scale_t", "offs_t")}[kind]
+    keys: set[str] = {"embed", "final_norm"}
+    keys.update(f"lm_head.{s}" for s in quant_suffixes)
+    for mine in _LAYER_MAP:
+        if mine in _QUANTIZABLE:
+            keys.update(f"layers.{mine}.{s}" for s in quant_suffixes)
+        else:
+            keys.add(f"layers.{mine}")
+    return keys
+
+
+def _sidecar_save(sidecar_dir: Path, flat: dict[str, np.ndarray]) -> None:
+    try:
+        sidecar_dir.mkdir(exist_ok=True)
+        for k, v in flat.items():
+            np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
+        (sidecar_dir / _SIDECAR_MARKER).touch()
+    except OSError:
+        pass  # read-only model dir: skip caching
+
+
 def _load_tensor(reader: GGUFReader, name: str, *, keep_packed: bool, dtype) -> Any:
     ti = reader.tensors[name]
     if keep_packed and ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:
@@ -164,22 +220,15 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     def _fresh(p: Path) -> bool:
         return p.exists() and p.stat().st_mtime >= src_mtime
 
-    if _fresh(sidecar_dir / "final_norm.npy"):
+    cached = _sidecar_load(sidecar_dir, src_mtime, _sidecar_expected("int8"))
+    if cached is not None:
         # one mmap-able .npy per tensor: jnp.asarray streams straight from
         # the page cache to the device, no full-RAM decompress pass
-        flat = {
-            f.stem.replace("__", "."): np.load(f, mmap_mode="r")
-            for f in sidecar_dir.glob("*.npy")
-        }
+        flat = cached
     elif _fresh(legacy_npz):
         z = np.load(legacy_npz)
         flat = {k: z[k] for k in z.files}
-        try:  # migrate once to the mmap-able per-tensor layout
-            sidecar_dir.mkdir(exist_ok=True)
-            for k, v in flat.items():
-                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
-        except OSError:
-            pass
+        _sidecar_save(sidecar_dir, flat)  # migrate once to per-tensor layout
     else:
         flat: dict[str, np.ndarray] = {}
         for mine, suffix in _LAYER_MAP.items():
@@ -207,12 +256,7 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         flat["lm_head.q"] = np.clip(
             np.round(head / flat["lm_head.scale"][:, None]), -127, 127
         ).astype(np.int8)
-        try:
-            sidecar_dir.mkdir(exist_ok=True)
-            for k, v in flat.items():
-                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
-        except OSError:
-            pass  # read-only model dir: skip caching
+        _sidecar_save(sidecar_dir, flat)
 
     layers: dict[str, Any] = {}
     for mine in _LAYER_MAP:
@@ -243,20 +287,16 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
     exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
     Cached in a `.int4/` per-tensor sidecar like the int8 path."""
-    from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight
+    from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight, self_check
     from ..formats.quants import pack_q4_direct
 
+    self_check()  # validate the bitcast layout before trusting int4 decode
     sidecar_dir = Path(path + ".int4")
     src_mtime = Path(path).stat().st_mtime
 
-    def _fresh(p: Path) -> bool:
-        return p.exists() and p.stat().st_mtime >= src_mtime
-
-    if _fresh(sidecar_dir / "final_norm.npy"):
-        flat = {
-            f.stem.replace("__", "."): np.load(f, mmap_mode="r")
-            for f in sidecar_dir.glob("*.npy")
-        }
+    cached = _sidecar_load(sidecar_dir, src_mtime, _sidecar_expected("int4"))
+    if cached is not None:
+        flat = cached
     else:
         def _mxu_parts(name: str):
             ti = reader.tensors[name]
@@ -283,12 +323,7 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         hp, hs, ho = _mxu_parts(head_name)
         hp, hs, ho = pad_rows(hp, hs, ho)
         flat["lm_head.packed"], flat["lm_head.scale_t"], flat["lm_head.offs_t"] = hp, hs, ho
-        try:
-            sidecar_dir.mkdir(exist_ok=True)
-            for k, v in flat.items():
-                np.save(sidecar_dir / f"{k.replace('.', '__')}.npy", v)
-        except OSError:
-            pass  # read-only model dir: skip caching
+        _sidecar_save(sidecar_dir, flat)
 
     def _bf16(a: np.ndarray) -> np.ndarray:
         import ml_dtypes

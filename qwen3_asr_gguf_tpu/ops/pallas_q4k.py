@@ -204,6 +204,44 @@ def supported(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
     return t == 1 and pick_subk(k) is not None and n % BN == 0 and w.packed.ndim == 2
 
 
+_SELF_CHECK_DONE = False
+
+
+def self_check() -> None:
+    """One-time on-device validation of the pltpu.bitcast(uint8->int4)
+    row-interleave layout the kernel relies on (measured, not documented
+    Mosaic semantics). CI runs interpret mode only, so a libtpu change in
+    that layout would otherwise silently garble every decode on hardware;
+    engine init calls this before trusting the int4 path. Hard-fails on
+    mismatch."""
+    global _SELF_CHECK_DONE
+    if _SELF_CHECK_DONE:
+        return
+    if jax.default_backend() != "tpu":
+        _SELF_CHECK_DONE = True  # interpret path is exercised by the test suite
+        return
+    rng = np.random.default_rng(0)
+    n, k = BN, 512  # one (BN, SUBK) tile
+    p = q.pack_q4_direct(rng.normal(size=(n, k)).astype(np.float32))
+    w = from_packed_q4(p, pad=True)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    got = np.asarray(q4k_matvec(jnp.asarray(x), w), dtype=np.float32)
+    dense = np.asarray(dequant_mxu(w, dtype=jnp.float32))
+    want = x @ dense.T
+    cos = float(
+        (got * want).sum()
+        / max(np.linalg.norm(got) * np.linalg.norm(want), 1e-30)
+    )
+    if cos < 0.99:
+        raise RuntimeError(
+            "pallas_q4k self-check failed (cosine "
+            f"{cos:.4f} vs dense dequant): the pltpu.bitcast uint8->int4 "
+            "row-interleave layout changed on this libtpu/Mosaic version; "
+            "refusing to run the int4 decode path. Use precision=int8."
+        )
+    _SELF_CHECK_DONE = True
+
+
 def q4k_matvec(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
     """x [1, K] @ dequant(w).T -> [1, N] through the int4-stream kernel."""
     n, k = w.shape

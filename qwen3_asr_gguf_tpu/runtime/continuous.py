@@ -245,17 +245,33 @@ class ContinuousBatcher:
         Audio encodes at its own mel bucket (5 s steps), not the full 40 s
         chunk shape — a 10 s request was paying 4x encoder compute."""
         eng = self.engine
+        # reject oversize prompts individually BEFORE forming the cohort: one
+        # request longer than n_ctx must not fail its cohort peers
+        kept, kept_rows = [], []
+        for req, row in zip(reqs, row_idxs):
+            n_valid = eng.encoder.valid_tokens(len(req.audio))
+            ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
+            if len(ids) > self.n_ctx:
+                req.error = ValueError(
+                    f"prompt of {len(ids)} tokens exceeds n_ctx={self.n_ctx}"
+                )
+                req.done_evt.set()
+                continue
+            kept.append((req, ids, mask))
+            kept_rows.append(row)
+        if not kept:
+            return
+        reqs = [k[0] for k in kept]
+        row_idxs = kept_rows
         p_real = len(reqs)
         target_p = 1 if p_real == 1 else self.PREFILL_COHORT
         pad_reqs = reqs + [reqs[0]] * (target_p - p_real)
         pad_rows = list(row_idxs) + [row_idxs[0]] * (target_p - p_real)
 
         embds, ids_list, mask_list, lens = [], [], [], []
-        for req in pad_reqs:
-            a = req.audio
-            n_valid = eng.encoder.valid_tokens(len(a))
-            embds.append(eng.encoder.encode_async(a))
-            ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
+        for i, req in enumerate(pad_reqs):
+            ids, mask = (kept[i] if i < p_real else kept[0])[1:]
+            embds.append(eng.encoder.encode_async(req.audio))
             ids_list.append(ids)
             mask_list.append(mask)
             lens.append(len(ids))
@@ -277,6 +293,11 @@ class ContinuousBatcher:
         keys = jax.random.split(
             jax.random.key(int(np.random.randint(0, 2**31 - 1))), target_p
         )
+        if target_p > p_real:
+            # pad duplicates scatter into the same row as the request they
+            # duplicate; identical keys make every duplicate write the same
+            # sampled token, so the scatter winner is irrelevant
+            keys = keys.at[p_real:].set(keys[0])
         rows_arr = jnp.asarray(pad_rows, dtype=jnp.int32)
         self.caches, toks, keys = self._prefill_rows(
             self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), audio,

@@ -59,6 +59,7 @@ class _Segment:
     audio_start: float
     audio_end: float
     text: str = ""
+    lang: str = ""  # language detected for this chunk (auto mode)
     items: Optional[List[ForcedAlignItem]] = None
 
 
@@ -170,10 +171,16 @@ class QwenASREngine:
         prefix_text: str,
         context: Optional[str],
         language: Optional[str],
+        detect_language: bool = False,
     ) -> tuple[list, list]:
         """Chat-protocol prompt halves around the audio span (reference
         asr.py:80-104): (header tokens incl. <|audio_start|>, suffix tokens
-        from <|audio_end|> through the carried prefix text)."""
+        from <|audio_end|> through the carried prefix text).
+
+        `detect_language` (official-API auto mode, qwen3_asr.py:454-465):
+        with no forced language the suffix stops at "assistant\\n" — no
+        forced `<asr_text>` — so the model emits the
+        ``language X<asr_text>body`` protocol for the caller to parse."""
         tk = self.model.tokenize
         prefix_str = f"system\n{context or 'You are a helpful assistant.'}"
         prefix_tokens = (
@@ -185,8 +192,11 @@ class QwenASREngine:
             suffix_head += f"language {language}"
         suffix_tokens = (
             [self.ID_AUDIO_END, self.ID_IM_END, self.ID_IM_START]
-            + tk(suffix_head) + [self.ID_ASR_TEXT] + tk(prefix_text)
+            + tk(suffix_head)
         )
+        if language or not detect_language:
+            suffix_tokens += [self.ID_ASR_TEXT]
+        suffix_tokens += tk(prefix_text)
         return prefix_tokens, suffix_tokens
 
     def _build_prompt_ids(
@@ -195,12 +205,12 @@ class QwenASREngine:
         prefix_text: str,
         context: Optional[str],
         language: Optional[str],
+        detect_language: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Full prompt as (token_ids, audio_mask). The audio span carries
-        placeholder ids; the actual embeddings are spliced ON DEVICE
-        (Generator.start_spliced) — the host never materializes embedding
-        rows."""
-        prefix_tokens, suffix_tokens = self._prompt_parts(prefix_text, context, language)
+        """Full prompt as (token_ids, audio_mask) — see `_prompt_parts`."""
+        prefix_tokens, suffix_tokens = self._prompt_parts(
+            prefix_text, context, language, detect_language
+        )
         n_pre = len(prefix_tokens)
         total = n_pre + n_audio + len(suffix_tokens)
         ids = np.zeros(total, dtype=np.int32)
@@ -233,6 +243,7 @@ class QwenASREngine:
         temperature: float = 0.4,
         reuse=None,  # (cache, start): KV prefix reuse for chunks >= 2
         retry_cache=None,  # cache of a FAILED attempt over the same prompt
+        max_new_tokens: int | None = None,  # override (warmup passes 1)
     ) -> tuple[DecodeResult, object]:
         """One chunk generation with rollback + circuit breaker
         (reference asr.py:106-191). Returns (result, final KV cache) so the
@@ -284,7 +295,7 @@ class QwenASREngine:
         # block n's tiny result (post-EOS steps are latched no-ops on
         # device), hiding one device->host round-trip per block
         gen = self.generator
-        max_new = self.config.max_new_tokens
+        max_new = max_new_tokens if max_new_tokens is not None else self.config.max_new_tokens
         st, packed = gen.decode_block_dispatch(state, temperature)
         latest = st
         while True:
@@ -345,6 +356,7 @@ class QwenASREngine:
         is_last_chunk: bool,
         temperature: float,
         reuse=None,
+        max_new_tokens: int | None = None,
     ) -> tuple[DecodeResult, object]:
         """Circuit-breaker retry with temperature escalation (asr.py:193-209)."""
         res = DecodeResult()
@@ -358,6 +370,7 @@ class QwenASREngine:
                 ids, audio_mask, audio_embd, rollback_num, is_last_chunk,
                 temperature, reuse=r,
                 retry_cache=cache if attempt > 0 else None,
+                max_new_tokens=max_new_tokens,
             )
             if not res.is_aborted:
                 break
@@ -416,11 +429,22 @@ class QwenASREngine:
         memory_chunks: int = 1,
         temperature: float = 0.4,
         rollback_num: int = 5,
+        detect_language: bool = False,
     ) -> TranscribeResult:
-        """3-stage pipelined transcription (reference asr.py:269-404)."""
+        """3-stage pipelined transcription (reference asr.py:269-404).
+
+        `detect_language=True` with `language=None` enables the official
+        API's auto mode (qwen3_asr.py:454-465): the first chunk's prompt
+        omits the forced `<asr_text>`, the emitted
+        ``language X<asr_text>body`` protocol is parsed, and subsequent
+        chunks force the detected language. The result carries the
+        detected/merged language in `.language`."""
         if language:
             language = normalize_language_name(language)
             validate_language(language)
+        detecting = detect_language and not language
+        # current effective language: detection fills it after chunk 0
+        cur = {"lang": language}
 
         samples_per_chunk = int(chunk_size_sec * SAMPLE_RATE)
         total_len = len(audio)
@@ -496,9 +520,19 @@ class QwenASREngine:
             s, e = int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
             try:
                 ares = self.aligner.align(
-                    audio[s:e], seg.text, language=language or "Chinese", offset_sec=offset_sec
+                    audio[s:e], seg.text,
+                    language=seg.lang or cur["lang"] or "Chinese",
+                    offset_sec=offset_sec,
                 )
             except Exception:
+                # degrade to no timestamps but SAY SO (reference worker logs
+                # through its error path, asr_worker.py:36-38; a silently
+                # empty alignment looks like "alignment produced nothing")
+                logger.warning(
+                    "forced alignment failed for chunk %d [%0.1fs-%0.1fs]; "
+                    "timestamps degraded to empty",
+                    idx, offset_sec, seg.audio_end, exc_info=True,
+                )
                 seg.items = []
                 return
             seg.items = list(ares.items)
@@ -562,7 +596,9 @@ class QwenASREngine:
             n_valid_cur = self.encoder.valid_tokens(actual_samples)
 
             prefix_text = "".join(m[1] for m in memory)
-            prefix_tokens, suffix_head = self._prompt_parts("", context, language)
+            prefix_tokens, suffix_head = self._prompt_parts(
+                "", context, cur["lang"], detecting
+            )
             n_pre = len(prefix_tokens)
 
             use_reuse = (
@@ -575,7 +611,9 @@ class QwenASREngine:
             if use_reuse:
                 start = n_pre + a_full
                 prefix_text = trim_prefix(prefix_text, start + n_valid_cur + len(suffix_head))
-                _, suffix_tokens = self._prompt_parts(prefix_text, context, language)
+                _, suffix_tokens = self._prompt_parts(
+                    prefix_text, context, cur["lang"], detecting
+                )
                 if i >= 2:
                     # move last chunk's audio KV [start, start+A) down to the
                     # memory slots [n_pre, n_pre+A), re-basing RoPE
@@ -599,9 +637,11 @@ class QwenASREngine:
                 prefix_text = trim_prefix(
                     prefix_text, n_pre + n_audio_prompt + len(suffix_head)
                 )
-                _, suffix_tokens = self._prompt_parts(prefix_text, context, language)
+                _, suffix_tokens = self._prompt_parts(
+                    prefix_text, context, cur["lang"], detecting
+                )
                 ids, audio_mask = self._build_prompt_ids(
-                    n_audio_prompt, prefix_text, context, language
+                    n_audio_prompt, prefix_text, context, cur["lang"], detecting
                 )
                 mark(f"c{i}.prompt")
                 res, kv_cache = self._safe_decode(
@@ -609,9 +649,21 @@ class QwenASREngine:
                 )
                 mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
 
-            segments[i].text = res.text
-            memory.append((audio_feature, res.text))
-            full_text += res.text
+            chunk_text = res.text
+            if detecting and cur["lang"] is None:
+                # parse the output protocol; later chunks run forced with
+                # the detected language (official per-chunk parse + merge,
+                # qwen3_asr.py:419-446 / utils.py:403-470)
+                from ..text.parsing import parse_asr_output
+
+                d_lang, body = parse_asr_output(chunk_text)
+                segments[i].lang = d_lang
+                chunk_text = body
+                if d_lang:
+                    cur["lang"] = d_lang
+            segments[i].text = chunk_text
+            memory.append((audio_feature, chunk_text))
+            full_text += chunk_text
             stats["prefill_tokens"] += res.n_prefill
             stats["prefill_time"] += res.t_prefill
             stats["decode_tokens"] += res.n_generate
@@ -638,8 +690,15 @@ class QwenASREngine:
         if self.verbose:
             self._print_stats(stats, total_duration, t_total)
 
+        if language:
+            result_language = language
+        else:
+            from ..text.parsing import merge_languages
+
+            result_language = merge_languages([s.lang for s in segments])
         return TranscribeResult(
             text=full_text,
             alignment=ForcedAlignResult(items=aligned_items) if aligned_items else None,
             performance=stats,
+            language=result_language,
         )

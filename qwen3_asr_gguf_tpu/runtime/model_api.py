@@ -112,9 +112,13 @@ class Qwen3ASRModel:
                     chunk_size_sec=self.engine.config.chunk_size,
                     memory_chunks=self.engine.config.memory_num,
                     temperature=temperature,
+                    # official auto mode: no forced language -> the prompt
+                    # omits <asr_text> and the engine parses the emitted
+                    # `language X<asr_text>` protocol (qwen3_asr.py:454-465)
+                    detect_language=language is None,
                 )
                 texts.append(collapse_repetitions(res.text))
-                langs.append(language or "")
+                langs.extend((language or res.language or "").split(","))
                 if return_time_stamps and res.alignment:
                     stamps.extend(
                         ForcedAlignItem(

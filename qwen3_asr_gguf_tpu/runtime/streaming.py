@@ -71,11 +71,23 @@ class StreamingTranscriber:
         toks = state.tokens[: -self.unfixed_token_num] if self.unfixed_token_num else state.tokens
         if not toks:
             return ""
-        text = self.engine.model.decode(toks)
+        # keep special tokens: in auto mode the raw decode carries the
+        # `language X<asr_text>` protocol tokens, and the official stack
+        # re-feeds the RAW decode as the prefix (qwen3_asr.py:755-761)
+        text = self.engine.model.decode(toks, skip_special=False)
         # U+FFFD guard: drop a trailing partial multibyte sequence
         return text.rstrip("�")
 
-    def _decode_accum(self, state: StreamingState) -> None:
+    def _decode_accum(
+        self,
+        state: StreamingState,
+        temperature: float | None = None,
+        max_new_tokens: int | None = None,
+    ) -> None:
+        """Decode the accumulated audio. `temperature`/`max_new_tokens`
+        override the session settings for this call only — warmup uses them
+        so a background prewarm never mutates state shared with a live
+        feed() (both default to the session values)."""
         if state.accum.size < self.chunk_samples // 4:
             return
         prefix_full = self._prefix_text(state)
@@ -89,8 +101,9 @@ class StreamingTranscriber:
         # everything: the trimmed prefix is a suffix of the full one, so
         # the continuation still concatenates exactly.
         eng = self.engine
+        detect = self.language is None
         headroom = min(eng.config.max_new_tokens, 256)
-        header, suffix_head = eng._prompt_parts("", self.context, self.language)
+        header, suffix_head = eng._prompt_parts("", self.context, self.language, detect)
         budget = max(
             eng.config.n_ctx - headroom - len(header) - len(suffix_head) - n_audio, 0
         )
@@ -98,20 +111,28 @@ class StreamingTranscriber:
         prefix = prefix_full
         if len(ptoks_full) > budget:
             kept = ptoks_full[len(ptoks_full) - budget:]
-            prefix = eng.model.decode(kept).lstrip("�") if kept else ""
+            prefix = eng.model.decode(kept, skip_special=False).lstrip("�") if kept else ""
         ids, mask = self.engine._build_prompt_ids(
-            n_audio, prefix, self.context, self.language
+            n_audio, prefix, self.context, self.language, detect
         )
         # pass the full bucket-shaped embedding: the audio_mask selects the
         # n_audio valid rows, so compile keys are (mel bucket, prompt bucket)
         # pairs instead of one per accumulated length
         res, _ = self.engine._safe_decode(
             ids, mask, embd_padded,
-            rollback_num=0, is_last_chunk=True, temperature=self.temperature,
+            rollback_num=0, is_last_chunk=True,
+            temperature=self.temperature if temperature is None else temperature,
+            max_new_tokens=max_new_tokens,
         )
         state.tokens = ptoks_full + res.stable_tokens
         state.fixed_prefix = prefix_full
-        state.text = prefix_full + res.text
+        # per-step parse (official qwen3_asr.py:759-761): raw accumulated
+        # decode -> (language, clean text); forced language passes through
+        from ..text.parsing import parse_asr_output
+
+        lang, txt = parse_asr_output(prefix_full + res.text, user_language=self.language)
+        state.language = lang
+        state.text = txt
 
     # -- public API ----------------------------------------------------------
 
@@ -124,35 +145,29 @@ class StreamingTranscriber:
         from .generate import prompt_bucket
 
         def work():
+            # per-call overrides only — a background prewarm must not mutate
+            # self.temperature / engine config shared with a live feed()
             eng = self.engine
-            saved = eng.config.max_new_tokens
-            eng.config.max_new_tokens = 1  # compile prefill, not generation
-            saved_temp = self.temperature
-            try:
-                seen = set()
-                n = self.chunk_samples
-                while n <= int(max_sec * SAMPLE_RATE):
-                    frames = n // 160
-                    n_audio = eng.encoder.valid_tokens(n)
-                    ids, _ = eng._build_prompt_ids(n_audio, "", self.context, self.language)
-                    key = (eng.encoder.mel_bucket(frames), prompt_bucket(len(ids)))
-                    if key not in seen:
-                        seen.add(key)
-                        silence = np.zeros(n, np.float32)
-                        # both sampling variants: greedy AND temperature>0
-                        # (the circuit-breaker retry path escalates
-                        # temperature — an unwarmed non-greedy program would
-                        # stall a live session mid-retry)
-                        for temp in dict.fromkeys((saved_temp, 0.4)):
-                            self.temperature = temp
-                            st = self.init_state()
-                            st.accum = silence
-                            st.chunks_seen = 0
-                            self._decode_accum(st)
-                    n += self.chunk_samples
-            finally:
-                eng.config.max_new_tokens = saved
-                self.temperature = saved_temp
+            seen = set()
+            n = self.chunk_samples
+            while n <= int(max_sec * SAMPLE_RATE):
+                frames = n // 160
+                n_audio = eng.encoder.valid_tokens(n)
+                ids, _ = eng._build_prompt_ids(n_audio, "", self.context, self.language)
+                key = (eng.encoder.mel_bucket(frames), prompt_bucket(len(ids)))
+                if key not in seen:
+                    seen.add(key)
+                    silence = np.zeros(n, np.float32)
+                    # both sampling variants: greedy AND temperature>0
+                    # (the circuit-breaker retry path escalates
+                    # temperature — an unwarmed non-greedy program would
+                    # stall a live session mid-retry)
+                    for temp in dict.fromkeys((self.temperature, 0.4)):
+                        st = self.init_state()
+                        st.accum = silence
+                        st.chunks_seen = 0
+                        self._decode_accum(st, temperature=temp, max_new_tokens=1)
+                n += self.chunk_samples
 
         if background:
             import threading

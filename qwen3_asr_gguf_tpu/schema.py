@@ -119,3 +119,7 @@ class TranscribeResult:
     text: str
     alignment: Optional[ForcedAlignResult] = None
     performance: Optional[dict] = None
+    # forced language, or the merged auto-detected language(s) when the
+    # engine ran with detect_language=True (official parse_asr_output /
+    # merge_languages protocol); "" when unknown
+    language: str = ""

@@ -67,3 +67,59 @@ def test_transcribe_long_audio_splits(model):
     out = model.transcribe(audio, language="English", max_chunk_sec=3.0)
     assert len(out) == 1
     assert isinstance(out[0].text, str)
+
+
+def test_language_auto_detection_parses_protocol(model):
+    """With language=None the engine builds the prompt WITHOUT the forced
+    <asr_text> and parses `language X<asr_text>body` output (reference
+    qwen3_asr.py:454-465, utils.py:403-470)."""
+    from qwen3_asr_gguf_tpu.schema import DecodeResult
+
+    eng = model.engine
+
+    # 1. prompt shape: auto mode stops at "assistant\n" (no <asr_text>)
+    ids_auto, _ = eng._build_prompt_ids(4, "", "", None, detect_language=True)
+    ids_forced, _ = eng._build_prompt_ids(4, "", "", "English")
+    assert eng.ID_ASR_TEXT not in ids_auto.tolist()
+    assert eng.ID_ASR_TEXT in ids_forced.tolist()
+
+    # 2. end-to-end parse: synthetic decode emitting the protocol
+    def fake_safe_decode(ids, mask, embd, rollback_num, is_last, temperature,
+                         reuse=None, max_new_tokens=None):
+        r = DecodeResult()
+        r.text = "language English<asr_text>hi there"
+        r.n_prefill = int(len(ids))
+        r.n_generate = 5
+        return r, None
+
+    orig = eng._safe_decode
+    eng._safe_decode = fake_safe_decode
+    try:
+        res = model.transcribe(np.zeros(SR, np.float32) * 0.0 + 0.01)
+    finally:
+        eng._safe_decode = orig
+    assert res[0].language == "English"
+    assert res[0].text == "hi there"
+
+
+def test_language_forced_passthrough(model):
+    from qwen3_asr_gguf_tpu.schema import DecodeResult
+
+    eng = model.engine
+
+    def fake_safe_decode(ids, mask, embd, rollback_num, is_last, temperature,
+                         reuse=None, max_new_tokens=None):
+        r = DecodeResult()
+        r.text = "plain body"
+        r.n_prefill = int(len(ids))
+        r.n_generate = 2
+        return r, None
+
+    orig = eng._safe_decode
+    eng._safe_decode = fake_safe_decode
+    try:
+        res = model.transcribe(np.full(SR, 0.01, np.float32), language="zh")
+    finally:
+        eng._safe_decode = orig
+    assert res[0].language == "Chinese"
+    assert res[0].text == "plain body"

@@ -109,3 +109,37 @@ def test_stream_prefix_trims_to_ctx_budget(engine):
     st._decode_accum(state)  # must not raise
     assert len(state.tokens) >= engine.config.n_ctx + 200  # history kept
     assert state.text  # transcript includes the full carried prefix
+
+
+def test_stream_language_autodetect(engine):
+    """language=None streams in auto mode: prompt omits <asr_text>, the
+    emitted protocol fills state.language and state.text holds the clean
+    body (reference qwen3_asr.py:759-761)."""
+    from qwen3_asr_gguf_tpu.schema import DecodeResult
+
+    st = StreamingTranscriber(engine, chunk_size_sec=1.0, language=None)
+    seen_ids = []
+
+    def fake_safe_decode(ids, mask, embd, rollback_num=0, is_last_chunk=True,
+                         temperature=0.0, reuse=None, max_new_tokens=None):
+        seen_ids.append(np.asarray(ids))
+        r = DecodeResult()
+        r.text = "language English<asr_text>hello"
+        r.stable_tokens = engine.model.tokenize("language English") + [
+            engine.ID_ASR_TEXT
+        ] + engine.model.tokenize("hello")
+        r.n_prefill = int(len(ids))
+        r.n_generate = len(r.stable_tokens)
+        return r, None
+
+    orig = engine._safe_decode
+    engine._safe_decode = fake_safe_decode
+    try:
+        state = st.init_state()
+        st.feed(state, _audio(1.0))
+    finally:
+        engine._safe_decode = orig
+    assert state.language == "English"
+    assert state.text == "hello"
+    # the auto prompt must not force <asr_text>
+    assert engine.ID_ASR_TEXT not in seen_ids[0].tolist()
