@@ -100,6 +100,23 @@ def load_audio(
             payload = base64.b64decode(path.split(",", 1)[1])
             audio, sr = _load_wav(payload)
             audio = resample(audio, sr, sample_rate)
+        elif path.startswith(("http://", "https://")):
+            # URL source (reference qwen_asr/inference/utils.py accepts
+            # http(s) audio); fetched to memory, decoded like bytes/ffmpeg
+            import urllib.request
+
+            with urllib.request.urlopen(path, timeout=30) as resp:
+                payload = resp.read()
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                audio, sr = _load_wav(payload)
+                audio = resample(audio, sr, sample_rate)
+            else:
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".audio") as tmp:
+                    tmp.write(payload)
+                    tmp.flush()
+                    audio = _load_via_ffmpeg(tmp.name, sample_rate)
         else:
             try:
                 with open(path, "rb") as f:

@@ -53,11 +53,12 @@ def main(argv=None) -> int:
     enc_cfg, enc_params = P.load_encoder_safetensors(
         os.path.join(args.model_dir, args.encoder_fn), as_numpy=True
     )
-    enc_q = P.quantize_encoder_params(enc_params)
     ref, _ = EncoderRunner(enc_params, enc_cfg).encode(audio)
-    got, _ = EncoderRunner(enc_q, enc_cfg).encode(audio)
-    report["encoder_int4_cosine"] = round(cosine(ref, got), 5)
-    report["encoder_int4_mae"] = round(float(np.abs(ref - got).mean()), 6)
+    for kind in ("int4", "int8"):
+        enc_q = P.quantize_encoder_params(enc_params, kind=kind)
+        got, _ = EncoderRunner(enc_q, enc_cfg).encode(audio)
+        report[f"encoder_{kind}_cosine"] = round(cosine(ref, got), 5)
+        report[f"encoder_{kind}_mae"] = round(float(np.abs(ref - got).mean()), 6)
     report["encoder_pass"] = report["encoder_int4_cosine"] >= 0.96
 
     # decoder: dense vs q4_k -------------------------------------------------

@@ -210,6 +210,64 @@ class ASRServer:
         return out
 
 
+# file-upload demo page (the reference's Gradio upload UI, qwen_asr/cli/
+# demo.py, as a dependency-free page on the stdlib server; the mic demo
+# lives in cli/demo_streaming.py)
+DEMO_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Qwen3-ASR TPU demo</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:720px;margin:2rem auto;padding:0 1rem}
+ fieldset{border:1px solid #ccc;border-radius:8px;margin-bottom:1rem}
+ label{display:inline-block;margin:.3rem 1rem .3rem 0}
+ #out{white-space:pre-wrap;background:#f6f6f6;border-radius:8px;padding:1rem;min-height:4rem}
+ button{padding:.5rem 1.2rem;border-radius:6px;border:1px solid #888;cursor:pointer}
+ .busy{opacity:.5;pointer-events:none}
+</style></head><body>
+<h2>Qwen3-ASR transcription demo</h2>
+<fieldset><legend>Input</legend>
+ <input type="file" id="file" accept="audio/*">
+</fieldset>
+<fieldset><legend>Options</legend>
+ <label>Language
+  <select id="lang"><option value="">auto</option><option>Chinese</option>
+  <option>English</option><option>Japanese</option><option>Korean</option>
+  <option>German</option><option>French</option><option>Spanish</option>
+  <option>Russian</option><option>Arabic</option><option>Portuguese</option></select></label>
+ <label>Format
+  <select id="fmt"><option>json</option><option>text</option><option>srt</option>
+  <option>vtt</option><option>verbose_json</option></select></label>
+ <label>Temperature <input id="temp" type="number" value="0.4" step="0.1" min="0" max="2" style="width:4rem"></label>
+ <label>Context <input id="ctx" type="text" placeholder="optional prompt" style="width:14rem"></label>
+</fieldset>
+<button id="go">Transcribe</button> <span id="status"></span>
+<h3>Result</h3><div id="out"></div>
+<script>
+const $=id=>document.getElementById(id);
+$('go').onclick=async()=>{
+  const f=$('file').files[0];
+  if(!f){$('status').textContent='choose an audio file first';return;}
+  const fd=new FormData();
+  fd.append('file',f);
+  fd.append('response_format',$('fmt').value);
+  fd.append('temperature',$('temp').value);
+  if($('lang').value)fd.append('language',$('lang').value);
+  if($('ctx').value)fd.append('prompt',$('ctx').value);
+  $('go').classList.add('busy');$('status').textContent='transcribing...';
+  const t0=performance.now();
+  try{
+    const r=await fetch('/v1/audio/transcriptions',{method:'POST',body:fd});
+    const body=await r.text();
+    let shown=body;
+    try{const j=JSON.parse(body);shown=j.text!==undefined?j.text:JSON.stringify(j,null,2);}catch(e){}
+    $('out').textContent=shown;
+    $('status').textContent=(r.ok?'done':'error '+r.status)+' in '+((performance.now()-t0)/1000).toFixed(1)+'s';
+  }catch(e){$('status').textContent='request failed: '+e;}
+  $('go').classList.remove('busy');
+};
+</script></body></html>
+"""
+
+
 def make_handler(server: ASRServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -228,6 +286,8 @@ def make_handler(server: ASRServer):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, "application/json", json.dumps({"status": "ok"}))
+            elif self.path in ("/demo", "/demo/"):
+                self._send(200, "text/html; charset=utf-8", DEMO_HTML)
             elif self.path == "/stats":
                 self._send(200, "application/json", json.dumps(server.stats()))
             elif self.path == "/v1/models":

@@ -535,15 +535,25 @@ _ENC_Q4_TOP = ("conv_out", "proj1_w", "proj2_w")
 _ENC_Q4_LAYER = ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w")
 
 
-def load_encoder_quantized(path: str, *, group: int = 32) -> tuple[AudioEncoderConfig, dict]:
-    """Encoder safetensors -> weight-only int4 params, cached in a `.int4/`
-    per-tensor sidecar. Host packing of the 1.3 GB fp32 file costs ~14 s on
-    this one-core host (measured: 16 s of a 23 s engine init); the sidecar
-    reload mmaps straight into device uploads."""
-    from ..formats.quants import pack_q4_direct
-    from ..ops.qtensor import Q4Weight
+def load_encoder_quantized(
+    path: str, *, group: int = 32, kind: str = "int4"
+) -> tuple[AudioEncoderConfig, dict]:
+    """Encoder safetensors -> weight-only quantized params, cached in a
+    `.int4/` or `.int8/` per-tensor sidecar. Host packing of the 1.3 GB
+    fp32 file costs ~14 s on this one-core host (measured: 16 s of a 23 s
+    engine init); the sidecar reload mmaps straight into device uploads.
 
-    sidecar_dir = Path(path + ".int4")
+    kinds (the reference's encoder precision ladder,
+    04-Quantize-ASR-Encoder.py): "int4" = group-asymmetric 4-bit
+    (MatMulNBits block analogue), "int8" = per-channel symmetric int8 (the
+    quantize_dynamic per-channel QUInt8 analogue, on the MXU's native int8
+    path)."""
+    from ..formats.quants import pack_q4_direct
+    from ..ops.qtensor import Int8Weight, Q4Weight
+
+    if kind not in ("int4", "int8"):
+        raise ValueError(f"unknown encoder quant kind {kind!r}")
+    sidecar_dir = Path(path + f".{kind}")
     src_mtime = Path(path).stat().st_mtime
     marker = sidecar_dir / "__config.json"
 
@@ -557,9 +567,21 @@ def load_encoder_quantized(path: str, *, group: int = 32) -> tuple[AudioEncoderC
         cfg, tree = load_encoder_safetensors(path, as_numpy=True)
         flat = dict(_flatten(tree))
 
+        def _int8_parts(w2d: np.ndarray) -> dict:
+            amax = np.maximum(np.abs(w2d).max(axis=-1), 1e-10)
+            scale = (amax / 127.0).astype(np.float32)
+            q8 = np.clip(np.round(w2d / scale[:, None]), -127, 127).astype(np.int8)
+            return {"q": q8, "scale": scale}
+
         def pack_into(name: str) -> None:
             w = flat.pop(name)
-            if w.ndim == 2:
+            if kind == "int8":
+                if w.ndim == 2:
+                    parts = _int8_parts(np.asarray(w, np.float32))
+                else:  # stacked [L, N, K]
+                    ps = [_int8_parts(np.asarray(w[i], np.float32)) for i in range(w.shape[0])]
+                    parts = {k: np.stack([p[k] for p in ps]) for k in ps[0]}
+            elif w.ndim == 2:
                 p = pack_q4_direct(np.asarray(w, np.float32), group=group)
                 parts = {"packed": p.packed, "scale": p.scale, "minv": p.minv}
             else:  # stacked [L, N, K]
@@ -571,7 +593,7 @@ def load_encoder_quantized(path: str, *, group: int = 32) -> tuple[AudioEncoderC
                     "minv": np.stack([p.minv for p in ps]),
                 }
             for k, v in parts.items():
-                flat[f"{name}.q4.{k}"] = v
+                flat[f"{name}.qw.{k}"] = v
 
         for name in _ENC_Q4_TOP:
             pack_into(name)
@@ -585,16 +607,29 @@ def load_encoder_quantized(path: str, *, group: int = 32) -> tuple[AudioEncoderC
         except OSError:
             pass  # read-only model dir: skip caching
 
-    # rebuild the tree, materializing q4.{packed,scale,minv} triples
-    plain = {k: v for k, v in flat.items() if ".q4." not in k}
+    # rebuild the tree, materializing the quantized containers
+    def _q_key(k: str) -> bool:
+        return ".qw." in k or ".q4." in k  # .q4. = pre-round-3 sidecar layout
+
+    def _q(name: str, part: str) -> np.ndarray:
+        v = flat.get(f"{name}.qw.{part}", flat.get(f"{name}.q4.{part}"))
+        return np.ascontiguousarray(v)
+
+    plain = {k: v for k, v in flat.items() if not _q_key(k)}
     tree = _unflatten({k: jnp.asarray(np.ascontiguousarray(v), dtype=jnp.float32)
                        for k, v in plain.items()})
     for name in _ENC_Q4_TOP + tuple(f"layers.{n}" for n in _ENC_Q4_LAYER):
-        w = Q4Weight(
-            packed=jnp.asarray(np.ascontiguousarray(flat[f"{name}.q4.packed"])),
-            scale=jnp.asarray(np.ascontiguousarray(flat[f"{name}.q4.scale"]), dtype=jnp.float32),
-            minv=jnp.asarray(np.ascontiguousarray(flat[f"{name}.q4.minv"]), dtype=jnp.float32),
-        )
+        if kind == "int8":
+            w = Int8Weight(
+                q=jnp.asarray(_q(name, "q")),
+                scale=jnp.asarray(_q(name, "scale"), dtype=jnp.float32),
+            )
+        else:
+            w = Q4Weight(
+                packed=jnp.asarray(_q(name, "packed")),
+                scale=jnp.asarray(_q(name, "scale"), dtype=jnp.float32),
+                minv=jnp.asarray(_q(name, "minv"), dtype=jnp.float32),
+            )
         node = tree
         parts = name.split(".")
         for p in parts[:-1]:
@@ -603,21 +638,32 @@ def load_encoder_quantized(path: str, *, group: int = 32) -> tuple[AudioEncoderC
     return cfg, tree
 
 
-def quantize_encoder_params(params: dict, *, group: int = 32) -> dict:
-    """Weight-only int4 for the encoder's matmul weights (the reference's
-    MatMulNBits int4 ONNX stage, 04-Quantize-ASR-Encoder.py)."""
-    from ..ops.qtensor import quantize_dense
+def quantize_encoder_params(params: dict, *, group: int = 32, kind: str = "int4") -> dict:
+    """Weight-only quantization of the encoder's matmul weights.
+
+    kind="int4": the reference's MatMulNBits int4 ONNX stage
+    (04-Quantize-ASR-Encoder.py:53-60); kind="int8": its per-channel
+    dynamic-int8 stage (:36-43), as symmetric per-channel Int8Weight."""
+    from ..ops.qtensor import Int8Weight, quantize_dense
+
+    def quant(w2d: np.ndarray):
+        if kind == "int8":
+            amax = np.maximum(np.abs(w2d).max(axis=-1), 1e-10)
+            scale = (amax / 127.0).astype(np.float32)
+            q8 = np.clip(np.round(w2d / scale[:, None]), -127, 127).astype(np.int8)
+            return Int8Weight(q=jnp.asarray(q8), scale=jnp.asarray(scale))
+        return quantize_dense(w2d, group=group)
 
     out = dict(params)
-    out["conv_out"] = quantize_dense(np.asarray(params["conv_out"]), group=group)
-    out["proj1_w"] = quantize_dense(np.asarray(params["proj1_w"]), group=group)
-    out["proj2_w"] = quantize_dense(np.asarray(params["proj2_w"]), group=group)
+    out["conv_out"] = quant(np.asarray(params["conv_out"], dtype=np.float32))
+    out["proj1_w"] = quant(np.asarray(params["proj1_w"], dtype=np.float32))
+    out["proj2_w"] = quant(np.asarray(params["proj2_w"], dtype=np.float32))
     layers = dict(params["layers"])
     for name in ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"):
         stacked = np.asarray(params["layers"][name], dtype=np.float32)
         layers[name] = jax.tree.map(
             lambda *xs: jnp.stack(xs),
-            *[quantize_dense(stacked[i], group=group) for i in range(stacked.shape[0])],
+            *[quant(stacked[i]) for i in range(stacked.shape[0])],
         )
     out["layers"] = layers
     return out

@@ -224,13 +224,14 @@ def self_check() -> None:
     n, k = BN, 512  # one (BN, SUBK) tile
     p = q.pack_q4_direct(rng.normal(size=(n, k)).astype(np.float32))
     w = from_packed_q4(p, pad=True)
-    x = rng.normal(size=(1, k)).astype(np.float32)
-    got = np.asarray(q4k_matvec(jnp.asarray(x), w), dtype=np.float32)
-    dense = np.asarray(dequant_mxu(w, dtype=jnp.float32))
-    want = x @ dense.T
+    x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
+    # compare ON DEVICE and fetch one scalar (the axon device->host link is
+    # ~0.1 MB/s; a dense-matrix download would stall init for seconds)
+    got = q4k_matvec(x, w).astype(jnp.float32)
+    want = x @ dequant_mxu(w, dtype=jnp.float32).T
     cos = float(
-        (got * want).sum()
-        / max(np.linalg.norm(got) * np.linalg.norm(want), 1e-30)
+        jnp.vdot(got, want)
+        / jnp.maximum(jnp.linalg.norm(got) * jnp.linalg.norm(want), 1e-30)
     )
     if cos < 0.99:
         raise RuntimeError(

@@ -40,8 +40,10 @@ class QwenForcedAligner:
 
         enc_path = os.path.join(model_dir, config.encoder_fn)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
-        if config.precision in ("q4_k", "int4", "int8"):
-            enc_cfg, enc_params = P.load_encoder_quantized(enc_path)
+        if config.precision == "int8":
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int8")
+        elif config.precision in ("q4_k", "int4"):
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int4")
         else:
             enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         self.encoder = EncoderRunner(

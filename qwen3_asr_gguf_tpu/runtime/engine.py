@@ -80,8 +80,12 @@ class QwenASREngine:
 
         # encoder ----------------------------------------------------------
         enc_path = os.path.join(model_dir, config.encoder_fn)
-        if config.precision in ("q4_k", "int4", "int8"):
-            enc_cfg, enc_params = P.load_encoder_quantized(enc_path)
+        if config.precision == "int8":
+            # per-channel int8 rung of the reference's encoder precision
+            # ladder (04-Quantize-ASR-Encoder.py quantize_dynamic stage)
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int8")
+        elif config.precision in ("q4_k", "int4"):
+            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int4")
         else:
             enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         mel_path = os.path.join(model_dir, "mel_filters.npy")

@@ -186,3 +186,13 @@ def test_concurrent_requests_microbatch(model_dir):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_demo_page_served(server):
+    """/demo serves the file-upload UI (reference qwen_asr/cli/demo.py
+    upload demo, dependency-free)."""
+    status, data = _request(server, "GET", "/demo")
+    assert status == 200
+    html = data.decode("utf-8")
+    assert "/v1/audio/transcriptions" in html
+    assert "<input type=\"file\"" in html

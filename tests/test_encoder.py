@@ -149,3 +149,40 @@ def test_windowed_tail_padding_masked(rng):
         enc.backend_transformer(params, cfg, jnp.asarray(hidden[win:]))
     )
     np.testing.assert_allclose(out[win:], out_tail_alone, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_encoder_quantized_rungs_close_to_f32(rng, kind):
+    """The encoder precision ladder (reference 04-Quantize-ASR-Encoder.py:
+    int8 per-channel, int4 grouped) stays close to the f32 master."""
+    from qwen3_asr_gguf_tpu.models.params import quantize_encoder_params
+
+    params = enc.init_params(CFG, jax.random.key(2))
+    host = jax.tree.map(np.asarray, params)
+    qparams = quantize_encoder_params(host, kind=kind)
+    mel = rng.standard_normal((128, 300)).astype(np.float32) * 0.5
+
+    ref = np.asarray(enc.encode(params, CFG, jnp.asarray(mel)))
+    got = np.asarray(enc.encode(qparams, CFG, jnp.asarray(mel)))
+    a, b = got.ravel(), ref.ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    floor = 0.999 if kind == "int8" else 0.96
+    assert cos > floor, (kind, cos)
+
+
+def test_encoder_int8_sidecar_roundtrip(tmp_path, rng):
+    """load_encoder_quantized(kind='int8') builds and reloads the sidecar."""
+    from qwen3_asr_gguf_tpu.models.params import (
+        load_encoder_quantized,
+        save_encoder_safetensors,
+    )
+
+    params = enc.init_params(CFG, jax.random.key(3))
+    path = str(tmp_path / "enc.safetensors")
+    save_encoder_safetensors(path, CFG, jax.tree.map(np.asarray, params))
+    cfg1, p1 = load_encoder_quantized(path, kind="int8")
+    cfg2, p2 = load_encoder_quantized(path, kind="int8")  # sidecar reload
+    mel = rng.standard_normal((128, 200)).astype(np.float32) * 0.5
+    o1 = np.asarray(enc.encode(p1, cfg1, jnp.asarray(mel)))
+    o2 = np.asarray(enc.encode(p2, cfg2, jnp.asarray(mel)))
+    np.testing.assert_allclose(o1, o2, atol=1e-6)
