@@ -58,10 +58,14 @@ def setup_logging(log_dir: str | None = None, level: int = logging.INFO) -> logg
 logger = setup_logging()
 
 
+_compile_cache_dir: str | None = None
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (compiles of the big decode/prefill
     programs cost minutes through a remote compile service; cache them
     across processes). Called by the engine/bench; safe to call repeatedly."""
+    global _compile_cache_dir
     import jax
 
     cache_dir = path or os.environ.get(
@@ -72,8 +76,21 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _compile_cache_dir = cache_dir
     except Exception:  # pragma: no cover - cache is best-effort
         logger.warning("could not enable persistent compilation cache", exc_info=True)
+
+
+def compile_cache_entries() -> int:
+    """Number of programs in the persistent compile cache (observability:
+    a warm process should add ~0 new entries; a growing count across runs
+    of the same workload means cache keys are churning)."""
+    if _compile_cache_dir is None:
+        return -1
+    try:
+        return sum(1 for p in Path(_compile_cache_dir).iterdir() if p.is_file())
+    except OSError:
+        return -1
 
 # Re-exports (lazy-friendly: keep heavy jax imports out of package import).
 from .schema import (  # noqa: E402

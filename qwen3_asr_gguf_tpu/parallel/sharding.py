@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.configs import AudioEncoderConfig, TextDecoderConfig
-from ..ops.qtensor import Q4Weight
+from ..ops.qtensor import Int8Weight, Q4Weight
 
 
 def make_mesh(shape: Optional[dict[str, int]] = None, devices=None) -> Mesh:
@@ -63,19 +63,52 @@ def _q4_spec(spec: P) -> Q4Weight:
     return Q4Weight(packed=spec, scale=spec, minv=spec)  # type: ignore[arg-type]
 
 
+def _int8_spec(spec: P) -> Int8Weight:
+    """Int8Weight: q shards like the dense weight; the per-out-channel scale
+    follows the out axis of the q spec (drops the in axis)."""
+    scale_spec = P(*spec[:-1])
+    return Int8Weight(q=spec, scale=scale_spec)  # type: ignore[arg-type]
+
+
+def _weight_spec(w: Any, spec: P):
+    if isinstance(w, Q4Weight):
+        return _q4_spec(spec)
+    if isinstance(w, Int8Weight):
+        return _int8_spec(spec)
+    return spec
+
+
 def decoder_param_specs(cfg: TextDecoderConfig, params: Any | None = None) -> dict:
     layers = {}
     for name, spec in _DEC_LAYER_SPECS.items():
-        if params is not None and isinstance(params["layers"][name], Q4Weight):
-            layers[name] = _q4_spec(spec)
+        if params is not None:
+            layers[name] = _weight_spec(params["layers"][name], spec)
         else:
             layers[name] = spec
+    head_spec = P("model", None)  # vocab-sharded logits
+    if params is not None:
+        head_spec = _weight_spec(params["lm_head"], head_spec)
     return {
         "embed": P(None, None),  # replicated: gathered on host & every step
         "layers": layers,
         "final_norm": P(),
-        "lm_head": P("model", None),  # vocab-sharded logits
+        "lm_head": head_spec,
     }
+
+
+def decoder_cache_specs(cfg: TextDecoderConfig, cache_dtype=None) -> dict:
+    """Per-layer decode cache (models.decoder.init_cache layout: lists of
+    [S, H_kv, hd]): shard the kv-head axis over `model`."""
+    import jax.numpy as jnp
+
+    specs = {
+        "k": [P(None, "model", None)] * cfg.num_layers,
+        "v": [P(None, "model", None)] * cfg.num_layers,
+    }
+    if cache_dtype == jnp.int8:
+        specs["k_s"] = [P(None, "model")] * cfg.num_layers
+        specs["v_s"] = [P(None, "model")] * cfg.num_layers
+    return specs
 
 
 def encoder_param_specs(cfg: AudioEncoderConfig) -> dict:

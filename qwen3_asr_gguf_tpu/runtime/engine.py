@@ -97,12 +97,28 @@ class QwenASREngine:
         logger.info("engine init: encoder up at +%.2fs", time.time() - t_init)
 
         # decoder ----------------------------------------------------------
+        # multi-chip inference: mesh_shape (e.g. {"model": 8}) TP-shards the
+        # decoder over a jax.sharding.Mesh. int4 remaps to int8 under TP —
+        # the packed int4 kernel is a single-chip matvec; int8 rides the
+        # MXU path that XLA SPMD partitions.
+        mesh = None
+        dec_precision = config.precision
+        if config.mesh_shape:
+            from ..parallel.sharding import make_mesh
+
+            mesh = make_mesh(dict(config.mesh_shape))
+            if dec_precision in ("int4",):
+                logger.info("mesh inference: decoder precision int4 -> int8")
+                dec_precision = "int8"
         dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
             os.path.join(model_dir, config.llm_fn),
-            precision=config.precision,
+            precision=dec_precision,
         )
         logger.info("engine init: decoder loaded at +%.2fs", time.time() - t_init)
-        dec_params = P.fuse_layer_weights(dec_params)  # one qkv / gateup stream per layer
+        if mesh is None:
+            # one qkv / gateup stream per layer (single-chip HBM optimization;
+            # a fused row split would cross shard boundaries under TP)
+            dec_params = P.fuse_layer_weights(dec_params)
         self.dec_cfg = dec_cfg
         self.model = tokenizer  # tokenizer exposes the reference LlamaModel text API
         kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}[
@@ -112,7 +128,8 @@ class QwenASREngine:
         # weights (prefill is MXU-bound; per-call dense-dequant of the int4
         # containers cost ~50-80 ms per chunk), decode keeps streaming 4-bit
         prefill_params = (
-            P.dequant_prefill_params(dec_params) if config.precision == "int4" else None
+            P.dequant_prefill_params(dec_params)
+            if dec_precision == "int4" else None
         )
         self.generator = Generator(
             dec_params, dec_cfg,
@@ -121,6 +138,7 @@ class QwenASREngine:
             block=config.decode_block,
             cache_dtype=kv_dtype,
             prefill_params=prefill_params,
+            mesh=mesh,
         )
         logger.info("engine init: generator up at +%.2fs", time.time() - t_init)
 

@@ -71,7 +71,22 @@ class Generator:
         bucket: int = 128,
         block: int = 64,
         prefill_params: dict | None = None,
+        mesh=None,  # jax.sharding.Mesh: TP-shard weights/cache over "model"
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-parallel inference (SURVEY.md §2.6: "pjit over ICI
+            # replaces the queues"): weights shard Megatron-style over the
+            # mesh's `model` axis, the KV cache shards by kv head, and XLA
+            # SPMD inserts the psums at o_proj/down_proj/logits. The caller
+            # passes UNFUSED layer weights (a fused qkv/gateup row split
+            # would cross q/k/v section boundaries).
+            from ..parallel.sharding import decoder_param_specs, shard_params
+
+            if "qkv_proj" in params["layers"] or "gateup_proj" in params["layers"]:
+                raise ValueError("sharded inference requires unfused layer weights")
+            params = shard_params(mesh, params, decoder_param_specs(cfg, params))
+            prefill_params = None  # int4 prefill split is a single-chip path
         self.params = params
         # prefill may run through a different weight representation than the
         # decode matvecs: with int4 weights the per-call dense-dequant
@@ -272,7 +287,14 @@ class Generator:
         # (~2 ms each through the remote runtime)
         if not hasattr(self, "_new_cache_jit"):
             cfg, n_ctx, dt = self.cfg, self.n_ctx, self.cache_dtype
-            self._new_cache_jit = jax.jit(lambda: dec.init_cache(cfg, n_ctx, dt))
+            out_shardings = None
+            if self.mesh is not None:
+                from ..parallel.sharding import decoder_cache_specs, named
+
+                out_shardings = named(self.mesh, decoder_cache_specs(cfg, dt))
+            self._new_cache_jit = jax.jit(
+                lambda: dec.init_cache(cfg, n_ctx, dt), out_shardings=out_shardings
+            )
         return self._new_cache_jit()
 
     def start(
