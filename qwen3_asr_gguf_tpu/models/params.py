@@ -325,6 +325,12 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         flat["lm_head.packed"], flat["lm_head.scale_t"], flat["lm_head.offs_t"] = hp, hs, ho
         _sidecar_save(sidecar_dir, flat)
 
+    import time as _time
+
+    from .. import logger as _logger
+
+    _t0 = _time.time()
+
     def _bf16(a: np.ndarray) -> np.ndarray:
         import ml_dtypes
 
@@ -344,15 +350,19 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
             layers[mine] = _mxu(f"layers.{mine}")
         else:
             layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+    _logger.info("int4 load: layer upload dispatched at +%.2fs", _time.time() - _t0)
     embed_dev = jnp.asarray(flat["embed"])
     if embed_dev.dtype != dense_dtype:
         embed_dev = embed_dev.astype(dense_dtype)
-    return {
+    out = {
         "embed": embed_dev,
         "layers": layers,
         "final_norm": jnp.asarray(np.ascontiguousarray(flat["final_norm"]), dtype=jnp.float32),
         "lm_head": _mxu("lm_head"),
     }
+    jax.block_until_ready(out["lm_head"].packed)
+    _logger.info("int4 load: device upload done at +%.2fs", _time.time() - _t0)
+    return out
 
 
 def dequant_prefill_params(params: dict) -> dict:

@@ -42,7 +42,9 @@ def report(name, fn, *args):
 
 key = jax.random.key(0)
 cache_sm = [jax.random.normal(jax.random.fold_in(key, l), (S, H, HD), jnp.bfloat16) for l in range(L)]
+vcache_sm = [jax.random.normal(jax.random.fold_in(key, 100 + l), (S, H, HD), jnp.bfloat16) for l in range(L)]
 cache_hm = [jnp.transpose(c, (1, 0, 2)) for c in cache_sm]
+vcache_hm = [jnp.transpose(c, (1, 0, 2)) for c in vcache_sm]
 q0 = jax.random.normal(key, (1, H * G, HD), jnp.bfloat16)
 kv0 = jax.random.normal(key, (1, H, HD), jnp.bfloat16)
 
@@ -68,65 +70,69 @@ def attn_bf16(q, kg, vg, mask):
 
 
 @jax.jit
-def run_a(caches, q0, kv0):
+def run_a(caches, vcaches, q0, kv0):
     def body(c):
-        i, acc, caches = c
+        i, acc, caches, vcaches = c
         pos = 931 + i
         mask = (jnp.arange(WIN, dtype=jnp.int32) <= pos)[None, :]
         bump = acc.astype(jnp.bfloat16) * 1e-6
-        new = []
+        new, newv = [], []
         for l in range(L):
             kc = jax.lax.dynamic_update_slice(caches[l], kv0 + bump, (pos, 0, 0))
-            kw = kc[:WIN]
-            kg = kw.transpose(1, 0, 2)
-            out = attn_f32(q0 + bump, kg, kg, mask)  # reuse k as v: same bytes
+            vc = jax.lax.dynamic_update_slice(vcaches[l], kv0 + bump, (pos, 0, 0))
+            kg = kc[:WIN].transpose(1, 0, 2)
+            vg = vc[:WIN].transpose(1, 0, 2)
+            out = attn_f32(q0 + bump, kg, vg, mask)
             acc = acc + out.astype(jnp.float32).sum()
-            new.append(kc)
-        return (i + 1, acc, new)
-    i, acc, caches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches))
+            new.append(kc); newv.append(vc)
+        return (i + 1, acc, new, newv)
+    i, acc, caches, vcaches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches, vcaches))
     return acc
 
 
 @jax.jit
-def run_b(caches, q0, kv0):
+def run_b(caches, vcaches, q0, kv0):
     def body(c):
-        i, acc, caches = c
+        i, acc, caches, vcaches = c
         pos = 931 + i
         mask = (jnp.arange(WIN, dtype=jnp.int32) <= pos)[None, :]
         bump = acc.astype(jnp.bfloat16) * 1e-6
-        new = []
+        new, newv = [], []
         for l in range(L):
             kc = jax.lax.dynamic_update_slice(caches[l], kv0 + bump, (pos, 0, 0))
-            kw = kc[:WIN]
-            kg = kw.transpose(1, 0, 2)
-            out = attn_bf16(q0 + bump, kg, kg, mask)
+            vc = jax.lax.dynamic_update_slice(vcaches[l], kv0 + bump, (pos, 0, 0))
+            kg = kc[:WIN].transpose(1, 0, 2)
+            vg = vc[:WIN].transpose(1, 0, 2)
+            out = attn_bf16(q0 + bump, kg, vg, mask)
             acc = acc + out.astype(jnp.float32).sum()
-            new.append(kc)
-        return (i + 1, acc, new)
-    i, acc, caches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches))
+            new.append(kc); newv.append(vc)
+        return (i + 1, acc, new, newv)
+    i, acc, caches, vcaches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches, vcaches))
     return acc
 
 
 @jax.jit
-def run_c(caches, q0, kv0):
+def run_c(caches, vcaches, q0, kv0):
     kvh = jnp.transpose(kv0, (1, 0, 2))  # [H, 1, hd]
     def body(c):
-        i, acc, caches = c
+        i, acc, caches, vcaches = c
         pos = 931 + i
         mask = (jnp.arange(WIN, dtype=jnp.int32) <= pos)[None, :]
         bump = acc.astype(jnp.bfloat16) * 1e-6
-        new = []
+        new, newv = [], []
         for l in range(L):
             kc = jax.lax.dynamic_update_slice(caches[l], kvh + bump, (0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(vcaches[l], kvh + bump, (0, pos, 0))
             kg = kc[:, :WIN]  # [H, WIN, hd] — no transpose
-            out = attn_bf16(q0 + bump, kg, kg, mask)
+            vg = vc[:, :WIN]
+            out = attn_bf16(q0 + bump, kg, vg, mask)
             acc = acc + out.astype(jnp.float32).sum()
-            new.append(kc)
-        return (i + 1, acc, new)
-    i, acc, caches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches))
+            new.append(kc); newv.append(vc)
+        return (i + 1, acc, new, newv)
+    i, acc, caches, vcaches = jax.lax.while_loop(lambda c: c[0] < BLOCK, body, (0, jnp.float32(0), caches, vcaches))
     return acc
 
 
-report("A sm-layout f32-cast", run_a, cache_sm, q0, kv0)
-report("B sm-layout bf16", run_b, cache_sm, q0, kv0)
-report("C head-major bf16", run_c, cache_hm, q0, kv0)
+report("A sm-layout f32-cast", run_a, cache_sm, vcache_sm, q0, kv0)
+report("B sm-layout bf16", run_b, cache_sm, vcache_sm, q0, kv0)
+report("C head-major bf16", run_c, cache_hm, vcache_hm, q0, kv0)
