@@ -61,6 +61,8 @@ def _sidecar_load(
             return None
         files = {p.name: p for p in sidecar_dir.glob("*.npy")}
         want = {f"{k.replace('.', '__')}.npy" for k in expected}
+        if "embed__q6k.npy" in files:  # packed-embed layout stores no embed.npy
+            want.discard("embed.npy")
         if not want <= files.keys():
             return None
         if any(files[n].stat().st_mtime < src_mtime for n in want):
@@ -96,6 +98,29 @@ def _sidecar_save(sidecar_dir: Path, flat: dict[str, np.ndarray]) -> None:
         (sidecar_dir / _SIDECAR_MARKER).touch()
     except OSError:
         pass  # read-only model dir: skip caching
+
+
+def _embed_to_flat(reader: GGUFReader, flat: dict) -> None:
+    """token_embd into the sidecar. When the file stores q6_k (the q4_k_m
+    convention) keep the PACKED bytes: ~156 MB uploaded + one on-device
+    dequant instead of 623 MB of f16 at 1.7B — engine init is upload-bound
+    through the remote device link."""
+    ti = reader.tensors["token_embd.weight"]
+    if ti.ggml_type == q.GGML_Q6_K:
+        flat["embed.q6k"] = np.asarray(reader.tensor_bytes("token_embd.weight"), dtype=np.uint8)
+        flat["embed.q6k_shape"] = np.asarray(ti.shape, dtype=np.int64)
+    else:
+        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
+
+
+def _embed_device(flat: dict, dense_dtype) -> jax.Array:
+    if "embed.q6k" in flat:
+        from ..ops.qtensor import dequant_q6k_device
+
+        shape = tuple(int(s) for s in np.asarray(flat["embed.q6k_shape"]))
+        return dequant_q6k_device(np.asarray(flat["embed.q6k"]), shape, dtype=dense_dtype)
+    e = jnp.asarray(flat["embed"])
+    return e.astype(dense_dtype) if e.dtype != dense_dtype else e
 
 
 def _load_tensor(reader: GGUFReader, name: str, *, keep_packed: bool, dtype) -> Any:
@@ -244,10 +269,8 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
                     reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
                     for i in range(cfg.num_layers)
                 ])
-        # f16 halves the biggest entry's disk+PCIe bytes; converted to the
-        # compute dtype ON DEVICE (host f32->bf16 casts cost ~10 s at 151k
-        # rows on the 1-core host)
-        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
+        # packed q6_k (or f16) embed: upload-light, dequantized on device
+        _embed_to_flat(reader, flat)
         flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
         head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
         head = reader.tensor(head_name, dtype=np.float32)
@@ -267,11 +290,7 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
             )
         else:
             layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
-    embed = flat["embed"]
-    # upload in the stored dtype, convert on device (free on the VPU)
-    embed_dev = jnp.asarray(embed)
-    if embed_dev.dtype != dense_dtype:
-        embed_dev = embed_dev.astype(dense_dtype)
+    embed_dev = _embed_device(flat, dense_dtype)
     return {
         "embed": embed_dev,
         "layers": layers,
@@ -317,7 +336,7 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
                     reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
                     for i in range(cfg.num_layers)
                 ])
-        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
+        _embed_to_flat(reader, flat)  # packed q6_k embed when available
         flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
         head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
         hp, hs, ho = _mxu_parts(head_name)
@@ -351,9 +370,7 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         else:
             layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
     _logger.info("int4 load: layer upload dispatched at +%.2fs", _time.time() - _t0)
-    embed_dev = jnp.asarray(flat["embed"])
-    if embed_dev.dtype != dense_dtype:
-        embed_dev = embed_dev.astype(dense_dtype)
+    embed_dev = _embed_device(flat, dense_dtype)
     out = {
         "embed": embed_dev,
         "layers": layers,
