@@ -369,6 +369,112 @@ class QwenASREngine:
         result.n_generate = n_gen
         return result, state.cache
 
+    # -- pipelined chunk dispatch (single-block fast path) -----------------
+
+    def _dispatch_chunk(self, ids, audio_mask, audio_embd, temperature, reuse=None):
+        """Prefill + ONE decode-block dispatch with NO host sync (valid when
+        max_new_tokens <= generator.block). Returns a pending dict for
+        `_collect_chunk`, or None when the context is full (caller falls
+        back to the synchronous `_safe_decode`)."""
+        gen = self.generator
+        t0 = time.time()
+        if reuse is None:
+            st = gen.start_spliced(ids, audio_mask, audio_embd, temperature=temperature)
+        else:
+            cache, start = reuse
+            st = gen.start_spliced_at(
+                ids, audio_mask, audio_embd, start=start, cache=cache,
+                temperature=temperature,
+            )
+        st2, packed = gen.decode_block_dispatch(st, temperature)
+        if packed is None:
+            return None
+        return {
+            "state": st2, "packed": packed, "n_prefill": int(ids.shape[0]),
+            "t_dispatch": time.time() - t0, "reuse_start": reuse[1] if reuse else None,
+        }
+
+    def _dispatch_chunk_spec(
+        self, template_ids, emitted, audio_embd, *, n_audio, start, cache,
+        temperature, rollback, max_keep,
+    ):
+        """Speculative dispatch of chunk i+1 BEFORE chunk i's result is
+        fetched: the prompt tail (chunk i's stable tokens) is assembled on
+        device from the emitted-token buffer. Returns a pending dict; the
+        caller verifies its host-side token accounting at collect time and
+        falls back to `_safe_decode` on any mismatch/abort (the cache
+        prefix [0:start) stays valid — decode only reads slots <= pos, all
+        rewritten by the corrective prefill/decode)."""
+        gen = self.generator
+        t0 = time.time()
+        st = gen.start_spliced_at_spec(
+            template_ids, emitted, audio_embd,
+            n_audio=n_audio, start=start, cache=cache,
+            rollback=rollback, max_keep=max_keep, temperature=temperature,
+        )
+        bound = start + n_audio + len(template_ids) + max_keep
+        st2, packed = gen.decode_block_dispatch(st, temperature, pos_bound=bound)
+        if packed is None:
+            return None
+        return {
+            "state": st2, "packed": packed,
+            "n_prefill": n_audio + len(template_ids),  # + n_keep at collect
+            "t_dispatch": time.time() - t0, "reuse_start": start,
+            "spec_max_keep": max_keep, "spec_rollback": rollback,
+        }
+
+    def _collect_chunk(self, pend, rollback_num, is_last_chunk) -> DecodeResult:
+        """Fetch a dispatched chunk's packed result and run the host-side
+        token processing of `_decode` (rollback display queue, utf-8
+        assembly, repetition breaker)."""
+        gen = self.generator
+        t0 = time.time()
+        toks, finished, rep_aborted = gen.collect_block(pend["packed"])
+        result = DecodeResult()
+        result.n_prefill = pend["n_prefill"]
+        result.t_prefill = pend["t_dispatch"]
+        display_queue: deque[int] = deque()
+        stable_tokens: List[int] = []
+        stable_text = ""
+        text_decoder = getincrementaldecoder("utf-8")(errors="replace")
+        max_new = self.config.max_new_tokens
+        n_gen = 0
+        for tok in toks:
+            if n_gen >= max_new:
+                break
+            n_gen += 1
+            display_queue.append(tok)
+            if len(display_queue) > rollback_num:
+                ready = display_queue.popleft()
+                stable_tokens.append(ready)
+                piece = text_decoder.decode(self.model.token_to_bytes(ready))
+                if piece and self.verbose:
+                    print(_PUNCT_NEWLINE.sub("\\1\n", piece), end="", flush=True)
+                stable_text += piece
+            if len(stable_tokens) > 15 and len(set(stable_tokens[-15:])) <= 3:
+                result.is_aborted = True
+                break
+        if rep_aborted:
+            result.is_aborted = True
+        if is_last_chunk and not result.is_aborted:
+            while display_queue:
+                tok = display_queue.popleft()
+                stable_tokens.append(tok)
+                piece = text_decoder.decode(self.model.token_to_bytes(tok))
+                if piece and self.verbose:
+                    print(_PUNCT_NEWLINE.sub("\\1\n", piece), end="", flush=True)
+                stable_text += piece
+            tail = text_decoder.decode(b"", final=True)
+            if tail:
+                stable_text += tail
+                if self.verbose:
+                    print(tail, end="", flush=True)
+        result.text = stable_text
+        result.stable_tokens = stable_tokens
+        result.n_generate = n_gen
+        result.t_generate = time.time() - t0
+        return result
+
     def _safe_decode(
         self,
         ids: np.ndarray,
@@ -512,17 +618,21 @@ class QwenASREngine:
             return data
 
         # async encode dispatch (replaces send_enc/mp.Queue, asr.py:313-319)
-        pending: dict[int, object] = {}
+        enc_futs: dict[int, object] = {}
 
         def send_enc(idx: int) -> None:
-            if 0 <= idx < num_chunks and idx not in pending:
+            if 0 <= idx < num_chunks and idx not in enc_futs:
                 t0 = time.time()
-                pending[idx] = self.encoder.encode_async(chunk_audio(idx))
+                enc_futs[idx] = self.encoder.encode_async(chunk_audio(idx))
                 stats["encode_time"] += time.time() - t0  # dispatch cost only
 
         def wait_enc(idx: int):
-            """Device array [valid_tokens, D] — embeddings stay on device."""
-            fut = pending.pop(idx)
+            """Device array [valid_tokens, D] — embeddings stay on device;
+            idempotent (the pipelined path reads chunk i+1's embedding while
+            chunk i is still in flight). Entries older than idx-1 drop."""
+            for k in [k for k in enc_futs if k < idx - 1]:
+                del enc_futs[k]
+            fut = enc_futs[idx]
             return fut[: self.encoder.valid_tokens(samples_per_chunk)]
 
         def run_align(idx: int) -> None:
@@ -587,18 +697,61 @@ class QwenASREngine:
         a_full = self.encoder.valid_tokens(samples_per_chunk)
         kv_cache = None
 
-        def trim_prefix(prefix_text: str, n_fixed: int) -> str:
-            """Drop the oldest carried-text tokens if prompt + generation
-            headroom would overflow n_ctx (the reference's llama_decode
-            would hard-fail here; n_ctx sizing note reference schema.py:84-86)."""
+        def trim_prefix_tokens(ptoks: list, n_fixed: int) -> list:
+            """Drop the OLDEST carried tokens if prompt + generation headroom
+            would overflow n_ctx (the reference's llama_decode would
+            hard-fail here; n_ctx sizing note reference schema.py:84-86).
+
+            The carried prefix is kept as RAW TOKENS, not re-tokenized text
+            (the reference decodes then re-encodes, which mangles split
+            multibyte sequences into U+FFFD; tokens also make the pipelined
+            device-assembled prompt byte-identical to this path)."""
             budget = self.config.n_ctx - min(self.config.max_new_tokens, 256)
-            ptoks = self.model.tokenize(prefix_text)
             overflow = n_fixed + len(ptoks) - budget
-            if overflow <= 0 or not prefix_text:
-                return prefix_text
-            if overflow < len(ptoks):
-                return self.model.decode(ptoks[overflow:]).lstrip("�")
-            return ""
+            if overflow <= 0:
+                return ptoks
+            return ptoks[overflow:] if overflow < len(ptoks) else []
+
+        # pipelined chunk dispatch: with a single decode block per chunk
+        # (max_new_tokens == decode_block), chunk i+1's prompt tail is
+        # assembled ON DEVICE from chunk i's emitted tokens, so its
+        # prefill+decode dispatch BEFORE the host fetches chunk i's result
+        # — the per-chunk device->host round trip (tens of ms through a
+        # remote link) overlaps chunk i+1's compute instead of serializing
+        # the chunk chain. On a repetition abort or a token-accounting
+        # mismatch the speculative work is discarded and the synchronous
+        # path recovers (the cache prefix stays valid).
+        fast_ok = (
+            self.config.pipelined_dispatch
+            and self.config.max_new_tokens == self.generator.block
+        )
+        inflight = None  # dispatched-but-uncollected chunk i
+        rebase_done = False  # chunk i's rebase already ran during spec dispatch
+
+        def full_prompt(i: int, audio_feature, lang, detect):
+            """(ids, mask, combined_embd) for a from-scratch chunk prompt;
+            the carried prefix rides as raw tokens (see trim_prefix_tokens)."""
+            carried = [t for m in memory for t in m[2]]
+            combined = (
+                jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
+                if memory else audio_feature
+            )
+            actual = min(samples_per_chunk, total_len - i * samples_per_chunk)
+            n_valid = self.encoder.valid_tokens(actual)
+            n_audio_prompt = a_full * len(memory) + n_valid
+            hdr, template = self._prompt_parts("", context, lang, detect)
+            kept = trim_prefix_tokens(
+                carried, len(hdr) + n_audio_prompt + len(template)
+            )
+            suffix_tokens = template + kept
+            n_pre_f = len(hdr)
+            total = n_pre_f + n_audio_prompt + len(suffix_tokens)
+            ids = np.zeros(total, dtype=np.int32)
+            ids[:n_pre_f] = hdr
+            ids[n_pre_f + n_audio_prompt :] = suffix_tokens
+            mask = np.zeros(total, dtype=bool)
+            mask[n_pre_f : n_pre_f + n_audio_prompt] = True
+            return ids, mask, combined
 
         for i in range(num_chunks):
             mark(f"c{i}.top")
@@ -616,62 +769,130 @@ class QwenASREngine:
             # reference slices to get_feat_extract_output_lengths, encoder.py:186-189)
             actual_samples = min(samples_per_chunk, total_len - i * samples_per_chunk)
             n_valid_cur = self.encoder.valid_tokens(actual_samples)
-
-            prefix_text = "".join(m[1] for m in memory)
+            is_last = i == num_chunks - 1
             prefix_tokens, suffix_head = self._prompt_parts(
                 "", context, cur["lang"], detecting
             )
             n_pre = len(prefix_tokens)
+            start = n_pre + a_full
 
-            use_reuse = (
-                self.config.kv_prefix_reuse
-                and memory_chunks == 1
-                and len(memory) == 1
-                and kv_cache is not None
-            )
-            is_last = i == num_chunks - 1
-            if use_reuse:
-                start = n_pre + a_full
-                prefix_text = trim_prefix(prefix_text, start + n_valid_cur + len(suffix_head))
-                _, suffix_tokens = self._prompt_parts(
-                    prefix_text, context, cur["lang"], detecting
+            pend = inflight
+            inflight = None
+            res = None
+            if pend is None:
+                # normal dispatch of chunk i (chunk 0, or pipeline restart)
+                use_reuse = (
+                    self.config.kv_prefix_reuse
+                    and memory_chunks == 1
+                    and len(memory) == 1
+                    and kv_cache is not None
                 )
-                if i >= 2:
-                    # move last chunk's audio KV [start, start+A) down to the
-                    # memory slots [n_pre, n_pre+A), re-basing RoPE
-                    kv_cache = self.generator.rebase_kv(
-                        kv_cache, src=start, dst=n_pre, block=a_full
+                if use_reuse:
+                    carried = [t for m in memory for t in m[2]]
+                    kept = trim_prefix_tokens(
+                        carried, start + n_valid_cur + len(suffix_head)
                     )
-                ids, audio_mask = self._suffix_prompt_ids(n_valid_cur, suffix_tokens)
+                    suffix_tokens = suffix_head + kept
+                    if i >= 2 and not rebase_done:
+                        # move last chunk's audio KV [start, start+A) down to
+                        # the memory slots [n_pre, n_pre+A), re-basing RoPE
+                        kv_cache = self.generator.rebase_kv(
+                            kv_cache, src=start, dst=n_pre, block=a_full
+                        )
+                    ids, audio_mask = self._suffix_prompt_ids(n_valid_cur, suffix_tokens)
+                    embd_in, reuse = audio_feature, (kv_cache, start)
+                else:
+                    ids, audio_mask, embd_in = full_prompt(
+                        i, audio_feature, cur["lang"], detecting
+                    )
+                    reuse = None
+                rebase_done = False
                 mark(f"c{i}.prompt")
-                res, kv_cache = self._safe_decode(
-                    ids, audio_mask, audio_feature, rollback_num, is_last,
-                    temperature, reuse=(kv_cache, start),
+                if fast_ok:
+                    pend = self._dispatch_chunk(
+                        ids, audio_mask, embd_in, temperature, reuse=reuse
+                    )
+                if pend is None:  # multi-block config or context full
+                    res, kv_cache = self._safe_decode(
+                        ids, audio_mask, embd_in, rollback_num, is_last,
+                        temperature, reuse=reuse,
+                    )
+                    mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
+
+            # speculative dispatch of chunk i+1 BEFORE fetching chunk i
+            spec_next = None
+            spec_keep = 0
+            if (
+                pend is not None
+                and not is_last
+                and self.config.kv_prefix_reuse
+                and memory_chunks == 1
+                and (not detecting or cur["lang"])
+            ):
+                next_samples = min(
+                    samples_per_chunk, total_len - (i + 1) * samples_per_chunk
                 )
-                mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
-            else:
-                combined = (
-                    jnp.concatenate([m[0] for m in memory] + [audio_feature], axis=0)
-                    if memory
-                    else audio_feature
+                n_valid_next = self.encoder.valid_tokens(next_samples)
+                _, template = self._prompt_parts("", context, cur["lang"], detecting)
+                budget = self.config.n_ctx - (
+                    start + n_valid_next + len(template) + self.generator.block
                 )
-                n_audio_prompt = a_full * len(memory) + n_valid_cur
-                prefix_text = trim_prefix(
-                    prefix_text, n_pre + n_audio_prompt + len(suffix_head)
-                )
-                _, suffix_tokens = self._prompt_parts(
-                    prefix_text, context, cur["lang"], detecting
-                )
-                ids, audio_mask = self._build_prompt_ids(
-                    n_audio_prompt, prefix_text, context, cur["lang"], detecting
-                )
-                mark(f"c{i}.prompt")
-                res, kv_cache = self._safe_decode(
-                    ids, audio_mask, combined, rollback_num, is_last, temperature
-                )
-                mark(f"c{i}.decode(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
+                max_keep = min(self.generator.block, max(budget, 0))
+                if max_keep > 0:
+                    cache_next = pend["state"].cache
+                    if i + 1 >= 2:
+                        cache_next = self.generator.rebase_kv(
+                            cache_next, src=start, dst=n_pre, block=a_full
+                        )
+                    spec_next = self._dispatch_chunk_spec(
+                        template, pend["packed"][:-2], wait_enc(i + 1),
+                        n_audio=n_valid_next, start=start, cache=cache_next,
+                        temperature=temperature, rollback=rollback_num,
+                        max_keep=max_keep,
+                    )
+                    spec_keep = max_keep
+                    mark(f"c{i}.spec_next")
+
+            if res is None:
+                res = self._collect_chunk(pend, rollback_num, is_last)
+                mark(f"c{i}.collect(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
+                if res.is_aborted:
+                    # repetition circuit breaker: discard the speculative
+                    # work (a rebase for chunk i+1 may have clobbered the
+                    # memory-audio KV slots, so prefix reuse is off) and
+                    # re-decode chunk i from the full prompt at escalated
+                    # temperature (reference retry semantics, asr.py:193-209)
+                    spec_next = None
+                    res.text += "====decode aborted: repetition circuit breaker===="
+                    if self.verbose:
+                        print(f"\n\n[!] retrying with temperature {temperature + 0.3:.1f}\n")
+                    ids_f, mask_f, embd_f = full_prompt(
+                        i, audio_feature, cur["lang"], detecting
+                    )
+                    res, kv_cache = self._safe_decode(
+                        ids_f, mask_f, embd_f, rollback_num, is_last,
+                        temperature + 0.3,
+                    )
+                    rebase_done = False
+                    mark(f"c{i}.retry(gen={res.t_generate:.3f})")
+                else:
+                    n_keep_host = len(res.stable_tokens) if not is_last else 0
+                    if spec_next is not None and n_keep_host <= spec_keep:
+                        spec_next["n_prefill"] += n_keep_host
+                        inflight = spec_next
+                        kv_cache = None
+                    elif spec_next is not None:
+                        # accounting mismatch: chunk i+1's spec prompt kept a
+                        # clipped tail; its cache PREFIX (header + rebased
+                        # audio) is still valid for the normal redo
+                        kv_cache = spec_next["state"].cache
+                        rebase_done = i + 1 >= 2
+                    else:
+                        kv_cache = pend["state"].cache
+                        rebase_done = False
 
             chunk_text = res.text
+            mem_tokens = list(res.stable_tokens)
             if detecting and cur["lang"] is None:
                 # parse the output protocol; later chunks run forced with
                 # the detected language (official per-chunk parse + merge,
@@ -683,8 +904,11 @@ class QwenASREngine:
                 chunk_text = body
                 if d_lang:
                     cur["lang"] = d_lang
+                if self.ID_ASR_TEXT in mem_tokens:
+                    # carried prefix = the body after the protocol tag
+                    mem_tokens = mem_tokens[mem_tokens.index(self.ID_ASR_TEXT) + 1 :]
             segments[i].text = chunk_text
-            memory.append((audio_feature, chunk_text))
+            memory.append((audio_feature, chunk_text, mem_tokens))
             full_text += chunk_text
             stats["prefill_tokens"] += res.n_prefill
             stats["prefill_time"] += res.t_prefill

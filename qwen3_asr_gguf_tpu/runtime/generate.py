@@ -373,6 +373,90 @@ class Generator:
         done = jnp.any(tok == self.eos_ids)
         return GenState(cache=cache, pos=t, last_token=tok, key=key, done=done)
 
+    def _build_spec_assemble(self) -> Callable:
+        """Device-side suffix-prompt assembly for PIPELINED chunk dispatch:
+        chunk i+1's prompt tail is chunk i's stable tokens, which live in the
+        emitted-token buffer ON DEVICE — assembling there lets chunk i+1's
+        prefill+decode dispatch before the host ever fetches chunk i's
+        result (each device->host fetch costs a full link round trip)."""
+
+        @partial(jax.jit, static_argnames=("n_audio", "n_template", "bucket", "rollback", "max_keep"))
+        def assemble(template_ids, emitted, n_audio: int, n_template: int,
+                     bucket: int, rollback: int, max_keep: int):
+            # emitted: [block] int32, -1 padded, EOS excluded (decode_block's
+            # packed[:-2]); stable tail drops the last `rollback` tokens
+            n_emit = jnp.sum((emitted >= 0).astype(jnp.int32))
+            n_keep = jnp.clip(n_emit - rollback, 0, max_keep)
+            ids = jnp.zeros((bucket,), jnp.int32)
+            ids = jax.lax.dynamic_update_slice(ids, template_ids, (n_audio,))
+            # place emitted[0:n_keep] right after the template
+            tail_pos = jnp.arange(emitted.shape[0], dtype=jnp.int32) + n_audio + n_template
+            keep = jnp.arange(emitted.shape[0], dtype=jnp.int32) < n_keep
+            ids = ids.at[jnp.where(keep, tail_pos, bucket)].set(
+                jnp.where(keep, emitted, 0), mode="drop"
+            )
+            length = jnp.int32(n_audio + n_template) + n_keep
+            return ids, length
+
+        return assemble
+
+    def start_spliced_at_spec(
+        self,
+        template_ids: np.ndarray,  # [n_t] int32 suffix tokens after the audio span
+        emitted,  # [block] device int32 (-1 padded) from the previous chunk
+        audio_embd: jax.Array,  # [Ta, D] current-chunk encoder output
+        *,
+        n_audio: int,  # valid audio tokens of this chunk
+        start: int,  # cache prefix length (host int)
+        cache,
+        rollback: int,
+        max_keep: int,
+        temperature: float = 0.4,
+        seed: int | None = None,
+    ) -> GenState:
+        """Speculative suffix prefill: prompt assembled on device from the
+        previous chunk's emitted tokens (see _build_spec_assemble). The
+        host later verifies its own token accounting matched; on a
+        circuit-breaker abort the cache prefix [0:start) is still valid, so
+        recovery is a plain `start_spliced_at` with the corrected suffix."""
+        if not hasattr(self, "_spec_assemble_jit"):
+            self._spec_assemble_jit = self._build_spec_assemble()
+        n_t = len(template_ids)
+        t_max = n_audio + n_t + max_keep
+        if start + t_max > self.n_ctx:
+            raise ValueError(f"speculative prompt may exceed n_ctx ({start + t_max})")
+        padded_len = min(prompt_bucket(t_max), self.n_ctx - start)
+        ids_dev, length = self._spec_assemble_jit(
+            jnp.asarray(np.asarray(template_ids, dtype=np.int32)),
+            emitted,
+            n_audio, n_t, padded_len, rollback, max_keep,
+        )
+        mask_p = np.zeros(padded_len, dtype=bool)
+        mask_p[:n_audio] = True
+        prefix_window = min(round_up(max(start, 1), 64), self.n_ctx)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.key(seed)
+        greedy = temperature <= 0.0
+        cache, tok, key = self._spliced_prefill_at_jit(
+            self.prefill_params,
+            ids_dev,
+            jnp.asarray(mask_p),
+            audio_embd,
+            jnp.int32(start),
+            length,
+            cache,
+            key,
+            jnp.float32(max(temperature, 1e-6)),
+            greedy,
+            prefix_window,
+        )
+        done = jnp.any(tok == self.eos_ids)
+        return GenState(
+            cache=cache, pos=jnp.int32(start) + length, last_token=tok,
+            key=key, done=done,
+        )
+
     def rebase_kv(self, cache, src: int, dst: int, block: int):
         """Move a KV block (e.g. last chunk's audio) to new positions with
         RoPE re-basing; returns the updated cache (donated)."""
@@ -422,17 +506,24 @@ class Generator:
         done = jnp.any(tok == self.eos_ids)
         return GenState(cache=cache, pos=start + t, last_token=tok, key=key, done=done)
 
-    def decode_block_dispatch(self, state: GenState, temperature: float = 0.4):
+    def decode_block_dispatch(self, state: GenState, temperature: float = 0.4,
+                              pos_bound: int | None = None):
         """Enqueue one K-step block WITHOUT waiting; returns
         (new_state, packed_device) — fetch `packed` later with
         `collect_block`. Lets the caller dispatch block n+1 while block n's
         tiny result array crosses the (high-latency) device->host link;
         post-EOS steps are latched no-ops on device, so speculative blocks
-        are safe."""
+        are safe.
+
+        `pos_bound`: host-side upper bound on state.pos, REQUIRED when pos
+        is a device scalar (speculative pipelined dispatch) — it drives the
+        static attention-window bucket and the context-full check without a
+        blocking device sync."""
         greedy = temperature <= 0.0
-        if state.pos + self.block > self.n_ctx:
+        bound = pos_bound if pos_bound is not None else int(state.pos)
+        if bound + self.block > self.n_ctx:
             return state, None  # context full
-        win = min(self.n_ctx, round_up(state.pos + self.block, 512))
+        win = min(self.n_ctx, round_up(bound + self.block, 512))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
             self.layers_list,

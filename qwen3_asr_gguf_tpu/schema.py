@@ -100,6 +100,11 @@ class ASREngineConfig:
     # re-prefilling it (exact for chunk 2; later chunks reuse KV computed
     # with the prior chunk's context — a cache-reuse approximation)
     kv_prefix_reuse: bool = True
+    # device-side chunk chaining: chunk i+1's prompt tail assembles on
+    # device from chunk i's emitted tokens, overlapping the per-chunk
+    # device->host fetch with compute (active when
+    # max_new_tokens == decode_block)
+    pipelined_dispatch: bool = True
     # "bf16" (exact), "int8" (per-slot-per-head scales: half the attention
     # HBM traffic and cache memory; llama.cpp's q8_0 KV analogue), "f32"
     kv_cache_dtype: str = "bf16"

@@ -69,6 +69,7 @@ def _audio(seconds: float, freq: float = 440.0) -> np.ndarray:
 
 
 def test_golden_engine_transcribe(engine):
+    np.random.seed(11)  # silent breaker retries sample; pin their keys
     res = engine.asr(_audio(3.5, 550.0), context="", language="English",
                      chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
     _check("engine_transcribe", {
@@ -80,6 +81,7 @@ def test_golden_engine_transcribe(engine):
 
 
 def test_golden_engine_with_context_language(engine):
+    np.random.seed(11)
     res = engine.asr(_audio(1.5, 330.0), context="golden test context",
                      language="Chinese", chunk_size_sec=2.0, temperature=0.0)
     _check("engine_context", {
@@ -153,6 +155,7 @@ def test_golden_quantized_engine(q4k_dir, precision):
         max_new_tokens=16,
         decode_block=8,
     ))
+    np.random.seed(11)
     res = engine.asr(_audio(3.5, 550.0), context="", language="English",
                      chunk_size_sec=2.0, memory_chunks=1, temperature=0.0)
     _check(f"engine_{precision}", {
