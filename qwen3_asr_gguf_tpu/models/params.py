@@ -184,12 +184,18 @@ def load_decoder_gguf(
     #                            pallas path, lowest HBM), "bf16", "f32"
     dtype=jnp.bfloat16,
 ) -> tuple[TextDecoderConfig, dict, BPETokenizer]:
+    import time as _time
+
+    from .. import logger as _logger
+
+    _t0 = _time.time()
     reader = GGUFReader(path)
     cfg = decoder_config_from_gguf(reader)
     keep_packed = precision in ("q4_k", "int8")
     dense_dtype = jnp.float32 if precision == "f32" else dtype
 
     tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
+    _logger.info("decoder load: reader+tokenizer at +%.2fs", _time.time() - _t0)
 
     if precision == "int8":
         params = _load_int8_params(reader, cfg, path, dense_dtype)
@@ -309,7 +315,13 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight, self_check
     from ..formats.quants import pack_q4_direct
 
+    import time as _stime
+
+    from .. import logger as _slog
+
+    _st = _stime.time()
     self_check()  # validate the bitcast layout before trusting int4 decode
+    _slog.info("int4 load: self_check done in %.2fs", _stime.time() - _st)
     sidecar_dir = Path(path + ".int4")
     src_mtime = Path(path).stat().st_mtime
 

@@ -65,6 +65,19 @@ class QwenForcedAligner:
         self.ID_TIMESTAMP = thinker.timestamp_token_id
         self.STEP_MS = thinker.timestamp_segment_ms or STEP_MS
         self._ko_scores: dict | None = None  # built lazily on first Korean align
+        self._pre: tuple | None = None  # (key, embd, n_audio) pre-encoded window
+
+    def pre_encode(self, audio: np.ndarray, key) -> None:
+        """Dispatch the encoder for an upcoming align window ahead of its
+        text (the window's audio span is known as soon as the PREVIOUS
+        chunk's alignment lands — the engine calls this from the align
+        worker so the encode overlaps the final chunk's decode instead of
+        tailing the pipeline)."""
+        self._pre = (
+            key,
+            self.encoder.encode_async(audio),
+            self.encoder.valid_tokens(int(audio.shape[-1])),
+        )
 
     def _korean_scores(self) -> dict:
         """L-dictionary for Korean segmentation, derived from the model's own
@@ -87,6 +100,7 @@ class QwenForcedAligner:
         text: str,
         language: str = "Chinese",
         offset_sec: float = 0.0,
+        precomputed_key=None,  # reuse a pre_encode()d window when it matches
     ) -> ForcedAlignResult:
         if language:
             language = normalize_language_name(language)
@@ -98,8 +112,16 @@ class QwenForcedAligner:
         # mask picks the n_audio valid rows), so align prefill compiles per
         # (mel bucket, prompt bucket) pair, not per audio length.
         t_enc0 = time.time()
-        audio_embd = self.encoder.encode_async(audio)
-        n_audio = self.encoder.valid_tokens(int(audio.shape[-1]))
+        if (
+            precomputed_key is not None
+            and self._pre is not None
+            and self._pre[0] == precomputed_key
+        ):
+            _, audio_embd, n_audio = self._pre
+            self._pre = None
+        else:
+            audio_embd = self.encoder.encode_async(audio)
+            n_audio = self.encoder.valid_tokens(int(audio.shape[-1]))
         t_enc = time.time() - t_enc0  # dispatch time; device overlaps decode build
 
         ko_scores = self._korean_scores() if (language or "").lower() == "korean" else None

@@ -635,26 +635,33 @@ class QwenASREngine:
             fut = enc_futs[idx]
             return fut[: self.encoder.valid_tokens(samples_per_chunk)]
 
+        def align_window(idx: int) -> tuple[float, int, int]:
+            """(offset_sec, start_sample, end_sample) for segment idx
+            (reference send_align offset logic, asr.py:322-348); valid once
+            segment idx-1's items are known."""
+            seg = segments[idx]
+            offset_sec = seg.audio_start
+            if idx > 0 and segments[idx - 1].items:
+                last_end = segments[idx - 1].items[-1].end_time
+                prev_limit = segments[idx - 1].audio_end
+                offset_sec = min(prev_limit, max(last_end, prev_limit - 10.0))
+            return offset_sec, int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
+
         def run_align(idx: int) -> None:
-            """Align segment idx (reference send_align offset logic,
-            asr.py:322-348)."""
+            """Align segment idx."""
             if self.aligner is None or not (0 <= idx < num_chunks):
                 return
             seg = segments[idx]
             if not seg.text.strip():
                 seg.items = []
                 return
-            offset_sec = seg.audio_start
-            if idx > 0 and segments[idx - 1].items:
-                last_end = segments[idx - 1].items[-1].end_time
-                prev_limit = segments[idx - 1].audio_end
-                offset_sec = min(prev_limit, max(last_end, prev_limit - 10.0))
-            s, e = int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
+            offset_sec, s, e = align_window(idx)
             try:
                 ares = self.aligner.align(
                     audio[s:e], seg.text,
                     language=seg.lang or cur["lang"] or "Chinese",
                     offset_sec=offset_sec,
+                    precomputed_key=(s, e),
                 )
             except Exception:
                 # degrade to no timestamps but SAY SO (reference worker logs
@@ -672,6 +679,12 @@ class QwenASREngine:
             if ares.performance:
                 stats["align_enc_time"] += ares.performance.get("encoder_time", 0)
                 stats["align_dec_time"] += ares.performance.get("decoder_time", 0)
+            # segment idx+1's window is now determined: pre-dispatch its
+            # align ENCODE so it overlaps the final chunk's decode instead
+            # of tailing the pipeline (the text arrives later)
+            if idx + 1 < num_chunks:
+                _, s2, e2 = align_window(idx + 1)
+                self.aligner.pre_encode(audio[s2:e2], key=(s2, e2))
 
         if num_chunks:
             send_enc(0)
