@@ -312,16 +312,15 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
     exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
     Cached in a `.int4/` per-tensor sidecar like the int8 path."""
-    from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight, self_check
+    from ..ops.pallas_q4k import pack_q4k_mxu, pad_rows, Q4KMXUWeight
     from ..formats.quants import pack_q4_direct
 
-    import time as _stime
+    from ..ops.pallas_q4k import self_check_async
 
-    from .. import logger as _slog
-
-    _st = _stime.time()
-    self_check()  # validate the bitcast layout before trusting int4 decode
-    _slog.info("int4 load: self_check done in %.2fs", _stime.time() - _st)
+    # bitcast-layout validation runs on a background thread (its standalone
+    # kernel compile costs minutes through the remote compile service);
+    # Generator.collect_block surfaces a failure on the decode hot path
+    self_check_async()
     sidecar_dir = Path(path + ".int4")
     src_mtime = Path(path).stat().st_mtime
 

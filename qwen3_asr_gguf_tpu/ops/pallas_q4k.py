@@ -227,6 +227,29 @@ def supported(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
 
 
 _SELF_CHECK_DONE = False
+_SELF_CHECK_ERR: Exception | None = None
+
+
+def self_check_async() -> None:
+    """Run `self_check` on a daemon thread: its standalone kernel compile
+    costs minutes through the remote compile service and must not serialize
+    engine init. A failure poisons the module; `check_error()` surfaces it
+    from the decode hot path (Generator.collect_block) so a broken bitcast
+    layout still hard-fails the session instead of silently garbling."""
+    import threading
+
+    def run():
+        global _SELF_CHECK_ERR
+        try:
+            self_check()
+        except Exception as e:  # surfaced via check_error
+            _SELF_CHECK_ERR = e
+
+    threading.Thread(target=run, daemon=True, name="q4k-self-check").start()
+
+
+def check_error() -> Exception | None:
+    return _SELF_CHECK_ERR
 
 
 def self_check() -> None:

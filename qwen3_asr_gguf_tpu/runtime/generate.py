@@ -545,6 +545,11 @@ class Generator:
     def collect_block(packed) -> tuple[list[int], bool, bool]:
         """(emitted_tokens, finished, rep_aborted) from a dispatched block's
         packed array — one device->host fetch."""
+        from ..ops import pallas_q4k
+
+        err = pallas_q4k.check_error()
+        if err is not None:  # background bitcast self-check failed
+            raise err
         if packed is None:
             return [], True, False
         arr = np.asarray(packed)
