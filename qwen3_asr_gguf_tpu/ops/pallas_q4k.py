@@ -230,16 +230,21 @@ _SELF_CHECK_DONE = False
 _SELF_CHECK_ERR: Exception | None = None
 
 
-def self_check_async() -> None:
+def self_check_async(delay_s: float = 300.0) -> None:
     """Run `self_check` on a daemon thread: its standalone kernel compile
     costs minutes through the remote compile service and must not serialize
-    engine init. A failure poisons the module; `check_error()` surfaces it
-    from the decode hot path (Generator.collect_block) so a broken bitcast
-    layout still hard-fails the session instead of silently garbling."""
+    engine init. The delay keeps it out of the warmup compile queue too
+    (the compile service serializes requests — an eager background check
+    was measured adding minutes to first-transcription warmup). A failure
+    poisons the module; `check_error()` surfaces it from the decode hot
+    path (Generator.collect_block) so a broken bitcast layout still
+    hard-fails the session instead of silently garbling."""
     import threading
+    import time as _t
 
     def run():
         global _SELF_CHECK_ERR
+        _t.sleep(delay_s)
         try:
             self_check()
         except Exception as e:  # surfaced via check_error
