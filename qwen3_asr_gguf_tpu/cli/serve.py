@@ -343,11 +343,13 @@ def main(argv=None) -> int:
 
     llm_fn = args.llm_fn or _resolve_llm_fn(args.model_dir, args.prec)
     precision = {"f16": "bf16"}.get(args.prec, args.prec)
-    if precision == "int4" and args.max_batch > 1:
-        # the int4 matvec kernel is single-row; batched decode would fall
-        # back to per-step dense-dequant. int8 rides the MXU at any batch.
-        print("[info] batched serving uses precision=int8 (int4 kernel is "
-              "single-stream)", file=sys.stderr)
+    if precision == "int4" and args.max_batch > 1 and args.batch_mode != "continuous":
+        # the micro-batcher's vmapped decode can't ride the int4 kernels;
+        # continuous batching CAN (multi-row q4_k kernel streams 4-bit
+        # weights at any T_TILE-multiple batch), so it keeps int4.
+        print("[info] micro-batched serving uses precision=int8 (vmapped "
+              "decode; use --batch-mode continuous to serve int4)",
+              file=sys.stderr)
         precision = "int8"
     cfg = ASREngineConfig(
         model_dir=args.model_dir, llm_fn=llm_fn, precision=precision,

@@ -512,6 +512,66 @@ def forward_step_layers(
     return h[0], cache
 
 
+def _gqa_attention_rows(q, kw, vw, mask, scale):
+    """Per-row decode attention: q [B, Hq, d], kw/vw [B, S, Hkv, d],
+    mask [B, S] -> [B, Hq, d]."""
+    b, hq, d = q.shape
+    hkv = kw.shape[2]
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, d)
+    scores = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, kw, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgs,bskd->bkgd", probs.astype(vw.dtype), vw,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, hq, d).astype(q.dtype)
+
+
+def forward_step_rows(
+    layer_list: list[Params],
+    final_norm: jax.Array,
+    cfg: TextDecoderConfig,
+    embd: jax.Array,  # [B, D] one token per batch row
+    caches: dict[str, list],  # vmapped cache layout: lists of [B, S, H, hd]
+    poss: jax.Array,  # [B] int32 per-row positions
+    *,
+    attn_window: int | None = None,
+) -> tuple[jax.Array, dict[str, list]]:
+    """Batched decode step WITHOUT vmapping the matmuls: activations stay
+    [B, K] so quantized weights stream ONCE per step through the multi-row
+    int4 kernel (or one MXU matmul for int8/dense) instead of once per row
+    under vmap. Attention/rope/norms batch naturally. bf16/f32 caches only
+    (serving allocates bf16)."""
+    b = embd.shape[0]
+    s_max = caches["k"][0].shape[1]
+    win = s_max if attn_window is None else min(attn_window, s_max)
+    scale = cfg.head_dim ** -0.5
+    cos, sin = rope_cos_sin(poss, cfg.head_dim, cfg.rope_theta)  # [B, hd]
+    rows = jnp.arange(b, dtype=jnp.int32)
+    mask = jnp.arange(win, dtype=jnp.int32)[None, :] <= poss[:, None]
+    dt = caches["k"][0].dtype
+
+    h = embd
+    out: dict[str, list] = {"k": [], "v": []}
+    for l, layer in enumerate(layer_list):
+        attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)  # [B, H, hd]
+        k_c = caches["k"][l].at[rows, poss].set(k.astype(dt))
+        v_c = caches["v"][l].at[rows, poss].set(v.astype(dt))
+        out["k"].append(k_c)
+        out["v"].append(v_c)
+        attn = _gqa_attention_rows(q, k_c[:, :win], v_c[:, :win], mask, scale)
+        h = h + matmul(attn.reshape(b, -1), layer["o_proj"])
+        mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(layer, mlp_in)
+    h = rms_norm(h, final_norm, cfg.rms_norm_eps)
+    return h, out
+
+
 def lm_logits(params: Params, hidden: jax.Array, n_out: int | None = None) -> jax.Array:
     """hidden [..., D] -> logits [..., V] (f32).
 

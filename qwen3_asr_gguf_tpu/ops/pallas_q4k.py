@@ -220,6 +220,103 @@ def _matvec_call(xf, packed, scale_t, offs_t, subk: int):
     )(xf, packed, scale_t, offs_t)
 
 
+T_TILE = 8  # batch rows per multi-row kernel step (x f32 min sublane tile)
+
+
+def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref):
+    """Multi-row variant: T_TILE batch rows per step. Same math as
+    `_kernel` with the group-masked activation matrix stacked per row
+    ([T*sub, SUBK] — 8x16 = 128 MXU rows, exactly one systolic pass) and a
+    0/1 segment-sum matmul collapsing the per-(row, group) partials.
+    Serving keeps 4-bit weight streaming at decode instead of remapping to
+    int8 (VERDICT r2 #6; llama.cpp's mmvq batch path is the analogue)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:]  # [T, SUBK] f32
+    t = x.shape[0]
+    sub, subk = s_ref.shape[0], x.shape[1]
+    rows = t * sub
+    xr = jnp.repeat(x, sub, axis=0)  # [T*sub, SUBK] row t replicated sub times
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 1) // GROUP
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 0) % sub
+    xm = jnp.where(lane_group == row_g, xr, 0.0)
+    amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+    xsum = jnp.sum(xm, axis=1, keepdims=True)
+
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4)
+    acc = jax.lax.dot_general(
+        xq, w4.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [T*sub, BN]
+    s_big = jnp.concatenate([s_ref[:].astype(jnp.float32)] * t, axis=0)
+    o_big = jnp.concatenate([off_ref[:].astype(jnp.float32)] * t, axis=0)
+    contrib = acc.astype(jnp.float32) * s_big * sx + xsum * o_big
+    # segment sum over each row's `sub` group partials: one tiny MXU dot
+    seg_row = jax.lax.broadcasted_iota(jnp.int32, (t, rows), 1) // sub
+    seg_t = jax.lax.broadcasted_iota(jnp.int32, (t, rows), 0)
+    seg = (seg_row == seg_t).astype(jnp.float32)  # [T, T*sub]
+    o_ref[:] += jax.lax.dot_general(
+        seg, contrib,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("subk",))
+def _matmul_rows_call(xf, packed, scale_t, offs_t, subk: int):
+    n2, k = packed.shape
+    n = n2 * 2
+    t = xf.shape[0]
+    sub = subk // GROUP
+    grid = (t // T_TILE, n // BN, k // subk)
+    return pl.pallas_call(
+        _kernel_rows,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_TILE, subk), lambda b, i, j: (b, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN // 2, subk), lambda b, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, BN), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, BN), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_TILE, BN), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * sub * n * k,
+            bytes_accessed=(t // T_TILE) * n2 * k + 4 * (k // GROUP) * n + 4 * t * k,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xf, packed, scale_t, offs_t)
+
+
+def supported_rows(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
+    """Multi-row kernel applicability: 2-D [T, K] with T a T_TILE multiple."""
+    if len(x_shape) != 2:
+        return False
+    t = x_shape[0]
+    n, k = w.shape
+    return (
+        t > 1 and t % T_TILE == 0 and t <= 64
+        and pick_subk(k) is not None and n % BN == 0 and w.packed.ndim == 2
+    )
+
+
+def q4k_matmul_rows(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
+    """x [T, K] @ dequant(w).T -> [T, N]; T_TILE-row batched int4 stream."""
+    n, k = w.shape
+    subk = pick_subk(k)
+    xf = x.astype(jnp.float32)
+    out = _matmul_rows_call(xf, w.packed, w.scale_t, w.offs_t, subk)
+    return out.astype(x.dtype)
+
+
 def supported(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
     n, k = w.shape
     t = int(np.prod(x_shape[:-1])) if len(x_shape) > 1 else 1

@@ -116,12 +116,21 @@ def to_int8(w) -> Int8Weight:
 def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
     """x [..., K] @ w.T -> [..., N]; w is Q4KMXUWeight, Int8Weight, Q4Weight
     or dense [N, K]."""
-    from .pallas_q4k import Q4KMXUWeight, dequant_mxu, q4k_matvec, supported as q4k_ok
+    from .pallas_q4k import (
+        Q4KMXUWeight,
+        dequant_mxu,
+        q4k_matmul_rows,
+        q4k_matvec,
+        supported as q4k_ok,
+        supported_rows,
+    )
 
     if isinstance(w, Q4KMXUWeight):
         if q4k_ok(x.shape, w):
             return q4k_matvec(x, w)  # decode matvec: int4 stream, exact q4_k
-        dense = dequant_mxu(w, dtype=x.dtype)  # prefill / batched fallback
+        if supported_rows(x.shape, w):
+            return q4k_matmul_rows(x, w)  # batched decode rows (serving)
+        dense = dequant_mxu(w, dtype=x.dtype)  # prefill / large-batch fallback
         return jax.lax.dot_general(
             x, dense,
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),

@@ -177,3 +177,45 @@ def test_quantized_params_close(oracle):
     a, b = np.asarray(h_ref).ravel(), np.asarray(h_q).ravel()
     cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.96, f"quantized cosine {cos}"
+
+
+def test_forward_step_rows_matches_vmapped_steps(rng):
+    """Batched rows decode step == per-row forward_step_layers (the
+    serving path must not change the math, only the batching)."""
+    params = dec.init_params(CFG, jax.random.key(4))
+    layers = dec.unstack_layers(params["layers"], CFG.num_layers)
+    b, s = 3, 32
+    caches_rows = {
+        "k": [jnp.zeros((b, s, CFG.num_kv_heads, CFG.head_dim), jnp.float32)
+              for _ in range(CFG.num_layers)],
+        "v": [jnp.zeros((b, s, CFG.num_kv_heads, CFG.head_dim), jnp.float32)
+              for _ in range(CFG.num_layers)],
+    }
+    # seed each row's cache with random prior KV
+    poss = jnp.asarray([5, 9, 2], jnp.int32)
+    for l in range(CFG.num_layers):
+        caches_rows["k"][l] = jnp.asarray(
+            rng.standard_normal(caches_rows["k"][l].shape), jnp.float32) * 0.1
+        caches_rows["v"][l] = jnp.asarray(
+            rng.standard_normal(caches_rows["v"][l].shape), jnp.float32) * 0.1
+    embd = jnp.asarray(rng.standard_normal((b, CFG.hidden_size)), jnp.float32) * 0.1
+
+    h_rows, out_rows = dec.forward_step_rows(
+        layers, params["final_norm"], CFG, embd, caches_rows, poss, attn_window=s
+    )
+    for r in range(b):
+        cache_r = {
+            "k": [caches_rows["k"][l][r] for l in range(CFG.num_layers)],
+            "v": [caches_rows["v"][l][r] for l in range(CFG.num_layers)],
+        }
+        h1, out1 = dec.forward_step_layers(
+            layers, params["final_norm"], CFG, embd[r], cache_r,
+            jnp.int32(poss[r]), attn_window=s,
+        )
+        np.testing.assert_allclose(np.asarray(h_rows[r]), np.asarray(h1),
+                                   rtol=2e-5, atol=2e-5)
+        for l in range(CFG.num_layers):
+            np.testing.assert_allclose(
+                np.asarray(out_rows["k"][l][r]), np.asarray(out1["k"][l]),
+                rtol=2e-5, atol=2e-5,
+            )

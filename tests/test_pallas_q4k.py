@@ -161,3 +161,34 @@ def test_matvec_kernel_multi_kstep_offsets():
     y = np.asarray(pq.q4k_matvec(jnp.asarray(x), w))
     ref = x @ dense.T
     np.testing.assert_allclose(y, ref, atol=np.abs(ref).max() * 0.02)
+
+
+def test_matmul_rows_matches_matvec():
+    """Multi-row batched kernel: each row must match the single-row matvec
+    (same per-group activation quant + offset math)."""
+    n, k = pq.BN, 2048
+    p, _ = _random_packed(n, k, seed=23)
+    w = pq.from_packed_q4(p)
+    rng = np.random.default_rng(29)
+    x = (rng.standard_normal((pq.T_TILE * 2, k)) * 0.15).astype(np.float32)
+
+    assert pq.supported_rows(x.shape, w)
+    y = np.asarray(pq.q4k_matmul_rows(jnp.asarray(x), w))
+    assert y.shape == (pq.T_TILE * 2, n)
+    for t in range(x.shape[0]):
+        y1 = np.asarray(pq.q4k_matvec(jnp.asarray(x[t : t + 1]), w))
+        np.testing.assert_allclose(y[t], y1[0], rtol=1e-5, atol=1e-4)
+
+
+def test_matmul_rows_dispatch_via_matmul():
+    from qwen3_asr_gguf_tpu.ops.qtensor import matmul as qmatmul
+
+    n, k = pq.BN, 1024
+    p, _ = _random_packed(n, k, seed=31)
+    w = pq.from_packed_q4(p)
+    dense = q.unpack_q4(p)
+    rng = np.random.default_rng(37)
+    x = (rng.standard_normal((pq.T_TILE, k)) * 0.1).astype(np.float32)
+    y = np.asarray(qmatmul(jnp.asarray(x), w))
+    ref = x @ dense.T
+    np.testing.assert_allclose(y, ref, atol=np.abs(ref).max() * 0.02)
