@@ -368,10 +368,21 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         return a.view(ml_dtypes.bfloat16) if a.dtype.kind == "V" else a
 
     def _mxu(prefix: str) -> Q4KMXUWeight:
+        packed = flat[f"{prefix}.packed"]
+        scale_t = _bf16(flat[f"{prefix}.scale_t"])
+        offs_t = _bf16(flat[f"{prefix}.offs_t"])
+        if prefix == "lm_head":
+            # pad the head to the wide kernel tile (pick_bn) so the 152k-row
+            # matvec runs at the bigger BN; zero rows dequantize to exactly 0
+            # and lm_logits slices them away
+            packed, scale_t, offs_t = pad_rows(
+                np.asarray(packed), np.asarray(scale_t), np.asarray(offs_t),
+                multiple=1024,
+            )
         return Q4KMXUWeight(
-            packed=jnp.asarray(flat[f"{prefix}.packed"]),
-            scale_t=jnp.asarray(_bf16(flat[f"{prefix}.scale_t"])),
-            offs_t=jnp.asarray(_bf16(flat[f"{prefix}.offs_t"])).astype(jnp.bfloat16),
+            packed=jnp.asarray(packed),
+            scale_t=jnp.asarray(scale_t),
+            offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
         )
 
     layers: dict[str, Any] = {}

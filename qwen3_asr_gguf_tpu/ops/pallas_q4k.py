@@ -194,22 +194,31 @@ def _kernel(x_ref, w_ref, s_ref, off_ref, o_ref):
     o_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("subk",))
-def _matvec_call(xf, packed, scale_t, offs_t, subk: int):
+def pick_bn(n: int) -> int:
+    """Channel-tile width: wider tiles for very tall weights (the 152k-row
+    lm_head measured ~790 GB/s at BN=512 vs ~1.1 TB/s for layer matvecs —
+    fewer, bigger grid steps recover pipelining headroom)."""
+    if n >= 65536 and n % (2 * BN) == 0:
+        return 2 * BN
+    return BN
+
+
+@functools.partial(jax.jit, static_argnames=("subk", "bn"))
+def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
     n2, k = packed.shape
     n = n2 * 2
     sub = subk // GROUP  # group partials per K step
-    grid = (n // BN, k // subk)
+    grid = (n // bn, k // subk)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, subk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN // 2, subk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 2, subk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * sub * n * k,
@@ -399,5 +408,5 @@ def q4k_matvec(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
     n, k = w.shape
     subk = pick_subk(k)
     xf = x.reshape(1, k).astype(jnp.float32)
-    out = _matvec_call(xf, w.packed, w.scale_t, w.offs_t, subk)  # [8, N]
+    out = _matvec_call(xf, w.packed, w.scale_t, w.offs_t, subk, pick_bn(n))  # [8, N]
     return out[0:1, :].reshape(*x.shape[:-1], n).astype(x.dtype)

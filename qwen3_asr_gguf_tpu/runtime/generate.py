@@ -523,7 +523,9 @@ class Generator:
         bound = pos_bound if pos_bound is not None else int(state.pos)
         if bound + self.block > self.n_ctx:
             return state, None  # context full
-        win = min(self.n_ctx, round_up(bound + self.block, 512))
+        # 256-slot window buckets: the attention read is ~25% of decode HBM
+        # traffic, so tighter buckets pay for their extra compiled variants
+        win = min(self.n_ctx, round_up(bound + self.block, 256))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
             self.layers_list,
@@ -564,11 +566,11 @@ class Generator:
         greedy = temperature <= 0.0
         if state.pos + self.block > self.n_ctx:
             return [], state, True  # context full
-        # bucket the attention window to the live prefix (multiples of 512):
+        # bucket the attention window to the live prefix (multiples of 256):
         # scanning all n_ctx cache slots per token costs ~235 MB of HBM reads
-        # at 1.7B; a 1300-token prompt only needs the 1536 bucket. Static arg
-        # -> at most n_ctx/512 compiled variants.
-        win = min(self.n_ctx, round_up(state.pos + self.block, 512))
+        # at 1.7B; a 1100-token prompt only needs the 1280 bucket. Static arg
+        # -> at most n_ctx/256 compiled variants.
+        win = min(self.n_ctx, round_up(state.pos + self.block, 256))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
             self.layers_list,
