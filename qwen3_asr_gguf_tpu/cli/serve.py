@@ -331,6 +331,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch-window", type=float, default=0.05,
                    help="micro-batch gather window seconds (0 disables batching)")
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--mesh", default=None,
+                   help="TP-shard the decoder over a device mesh, e.g. 'model=4'")
     p.add_argument("--batch-mode", choices=["continuous", "micro", "off"],
                    default="continuous",
                    help="continuous = per-request admission into free decode "
@@ -351,10 +353,13 @@ def main(argv=None) -> int:
               "decode; use --batch-mode continuous to serve int4)",
               file=sys.stderr)
         precision = "int8"
+    from .transcribe import _parse_mesh
+
     cfg = ASREngineConfig(
         model_dir=args.model_dir, llm_fn=llm_fn, precision=precision,
         n_ctx=args.n_ctx, chunk_size=args.chunk_size, verbose=False,
         enable_aligner=args.timestamp,
+        mesh_shape=_parse_mesh(args.mesh),
     )
     if args.timestamp:
         cfg.align_config = AlignerConfig(

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dml", action="store_true", help=argparse.SUPPRESS)  # no-op
     p.add_argument("--vulkan", action="store_true", help=argparse.SUPPRESS)  # no-op
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--mesh", default=None,
+                   help="TP-shard the decoder over a device mesh, e.g. "
+                        "'model=4' or 'data=2,model=4'")
     return p
 
 
@@ -64,6 +67,17 @@ def _resolve_llm_fn(model_dir: str, prec: str) -> str:
                 print(f"[warn] {fn} not found; using {alt}", file=sys.stderr)
                 return alt
     return fn
+
+
+def _parse_mesh(spec):
+    """'data=2,model=4' -> {"data": 2, "model": 4} (None passes through)."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        name, _, num = part.partition("=")
+        out[name.strip()] = int(num)
+    return out
 
 
 def main(argv=None) -> int:
@@ -99,6 +113,7 @@ def main(argv=None) -> int:
         memory_num=args.memory_num,
         verbose=not args.quiet,
         enable_aligner=args.timestamp,
+        mesh_shape=_parse_mesh(args.mesh),
     )
     if args.timestamp:
         aligner_llm = llm_fn.replace("asr", "aligner")

@@ -121,6 +121,16 @@ class Generator:
         )
         if self.fused_mlp:
             self.layers_list = jax.jit(dec.split_mlp_weights)(self.layers_list)
+        # pass the STACKED layer arrays to the block program and unstack at
+        # trace time (static leading-axis slices alias, no copies): ~16 arg
+        # buffers instead of ~450 — each dispatch through the remote runtime
+        # marshals per-buffer, which showed up as tens of ms of host time
+        # per block call. Opt-out knob for A/B.
+        self._stacked_args = _os.environ.get("QWEN3_STACKED_ARGS", "1") != "0"
+        self._block_layers_arg = (
+            params["layers"] if (self._stacked_args and not self.fused_mlp)
+            else self.layers_list
+        )
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
         self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
@@ -221,10 +231,17 @@ class Generator:
         eos = self.eos_ids
         block = self.block
         fused_mlp = self.fused_mlp
+        stacked_args = self._stacked_args and not self.fused_mlp
 
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
-        def decode_block(params, layers_list, cache, pos0, tok0, key, temperature, done0,
+        def decode_block(params, layers_arg, cache, pos0, tok0, key, temperature, done0,
                          greedy: bool, attn_window: int):
+            # trace-time unstack of stacked layer weights (leading-axis
+            # slices alias; far fewer arg buffers to marshal per dispatch)
+            layers_list = (
+                dec.unstack_layers(layers_arg, cfg.num_layers)
+                if stacked_args else layers_arg
+            )
             # while_loop (not scan): the device exits as soon as EOS is
             # sampled, so a large block costs only the tokens it produces —
             # one host dispatch + one tiny fetch per block either way
@@ -528,7 +545,7 @@ class Generator:
         win = min(self.n_ctx, round_up(bound + self.block, 256))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
-            self.layers_list,
+            self._block_layers_arg,
             state.cache,
             jnp.int32(state.pos),
             state.last_token,
@@ -573,7 +590,7 @@ class Generator:
         win = min(self.n_ctx, round_up(state.pos + self.block, 256))
         cache, pos, tok, key, done, packed = self._block_jit(
             self.params,
-            self.layers_list,
+            self._block_layers_arg,
             state.cache,
             jnp.int32(state.pos),
             state.last_token,

@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--audio-sec", type=float, default=10.0)
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=1024)
+    ap.add_argument("--prec", default="int8")
     args = ap.parse_args()
 
     from qwen3_asr_gguf_tpu import enable_compilation_cache
@@ -51,7 +52,7 @@ def main() -> None:
     t0 = time.time()
     engine = QwenASREngine(ASREngineConfig(
         model_dir=str(ckpt), llm_fn="qwen3_asr_llm.q4_k.gguf",
-        precision="int8" if on_tpu else "f32",
+        precision=args.prec if on_tpu else "f32",
         n_ctx=args.n_ctx, chunk_size=40.0, verbose=False,
         max_new_tokens=args.max_new, enable_aligner=False,
     ))
