@@ -40,8 +40,19 @@ class EncoderRunner:
         warmup_sec: float = 0.0,
     ):
         # params may arrive as host numpy (quantized host-side); pin them on
-        # device once so jitted calls don't re-transfer per invocation
+        # device once so jitted calls don't re-transfer per invocation.
+        # f16 leaves (the half-precision ladder rung) upload at half the
+        # bytes and convert to bf16 on device (TPU-native half type).
         self.params = jax.device_put(params)
+        if any(
+            getattr(leaf, "dtype", None) == jnp.float16
+            for leaf in jax.tree.leaves(self.params)
+        ):
+            self.params = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float16 else a, p
+                )
+            )(self.params)
         self.cfg = cfg
         self.frontend = LogMelFrontend(filters=mel_filters)
         # bucket must stay on the n_window conv grid

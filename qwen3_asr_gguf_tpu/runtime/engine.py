@@ -31,6 +31,7 @@ from codecs import getincrementaldecoder
 from collections import deque
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,15 @@ class QwenASREngine:
             enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int8")
         elif config.precision in ("q4_k", "int4"):
             enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int4")
+        elif config.precision in ("bf16", "f16"):
+            # half-precision rung (reference ships an fp16 encoder): f16 on
+            # the wire (half the upload), bf16 on device
+            enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
+            enc_params = jax.tree.map(
+                lambda a: a.astype(np.float16)
+                if getattr(a, "dtype", None) == np.float32 else a,
+                enc_params,
+            )
         else:
             enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         mel_path = os.path.join(model_dir, "mel_filters.npy")

@@ -186,3 +186,25 @@ def test_encoder_int8_sidecar_roundtrip(tmp_path, rng):
     o1 = np.asarray(enc.encode(p1, cfg1, jnp.asarray(mel)))
     o2 = np.asarray(enc.encode(p2, cfg2, jnp.asarray(mel)))
     np.testing.assert_allclose(o1, o2, atol=1e-6)
+
+
+def test_engine_bf16_encoder_rung(tmp_path):
+    """precision=bf16 ships the encoder as f16 on the wire, bf16 on device
+    (the reference's fp16 ONNX rung) and still transcribes."""
+    from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+    from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+    from qwen3_asr_gguf_tpu.schema import ASREngineConfig
+
+    d = tmp_path / "bf16ckpt"
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16")
+    eng = QwenASREngine(ASREngineConfig(
+        model_dir=str(d), llm_fn="qwen3_asr_llm.f16.gguf", precision="bf16",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=8,
+        decode_block=8,
+    ))
+    leaf = eng.encoder.params["proj1_w"]
+    assert leaf.dtype == jnp.bfloat16
+    t = np.arange(16000) / 16000
+    res = eng.asr((np.sin(2 * np.pi * 440 * t) * 0.3).astype(np.float32),
+                  "", "English", chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res.text, str)
