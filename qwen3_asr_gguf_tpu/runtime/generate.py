@@ -121,12 +121,12 @@ class Generator:
         )
         if self.fused_mlp:
             self.layers_list = jax.jit(dec.split_mlp_weights)(self.layers_list)
+        # A/B knob (default off — measured neutral, 0.01156 vs 0.01145):
         # pass the STACKED layer arrays to the block program and unstack at
-        # trace time (static leading-axis slices alias, no copies): ~16 arg
-        # buffers instead of ~450 — each dispatch through the remote runtime
-        # marshals per-buffer, which showed up as tens of ms of host time
-        # per block call. Opt-out knob for A/B.
-        self._stacked_args = _os.environ.get("QWEN3_STACKED_ARGS", "1") != "0"
+        # trace time (static leading-axis slices alias): ~16 arg buffers
+        # instead of ~450 per dispatch. Arg marshaling turned out NOT to be
+        # the residual per-block overhead.
+        self._stacked_args = _os.environ.get("QWEN3_STACKED_ARGS", "0") != "0"
         self._block_layers_arg = (
             params["layers"] if (self._stacked_args and not self.fused_mlp)
             else self.layers_list

@@ -347,3 +347,64 @@ def test_pipelined_dispatch_matches_synchronous(model_dir):
     r_sync = eng_sync.asr(audio, "", "English", chunk_size_sec=2.0, temperature=0.0)
     assert r_pipe.text == r_sync.text
     assert r_pipe.performance["decode_tokens"] == r_sync.performance["decode_tokens"]
+
+
+def test_pipelined_abort_recovers(model_dir):
+    """A repetition abort mid-pipeline discards the speculative chunk and
+    re-decodes from the full prompt; transcription still completes."""
+    import dataclasses
+
+    cfg = ASREngineConfig(
+        model_dir=model_dir, llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False,
+        max_new_tokens=8, decode_block=8, pipelined_dispatch=True,
+    )
+    engine = QwenASREngine(cfg)
+    audio = _audio(5.0, 520.0)  # 3 chunks
+
+    calls = {"n": 0}
+    orig = engine._collect_chunk
+
+    def poisoned_collect(pend, rollback_num, is_last):
+        res = orig(pend, rollback_num, is_last)
+        calls["n"] += 1
+        if calls["n"] == 1:  # chunk 0 "aborts"
+            res.is_aborted = True
+        return res
+
+    engine._collect_chunk = poisoned_collect
+    np.random.seed(3)
+    res = engine.asr(audio, "", "English", chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res.text, str)
+    assert res.performance["decode_tokens"] > 0
+    assert calls["n"] >= 3  # every chunk still decoded
+
+
+def test_pipelined_mismatch_falls_back(model_dir):
+    """If the host would keep MORE stable tokens than the speculative
+    prompt's clip (max_keep), the spec result is discarded and the chunk
+    re-decodes with the correct prompt via the prefix cache."""
+    import dataclasses
+
+    cfg = ASREngineConfig(
+        model_dir=model_dir, llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=120,  # tight ctx: spec budget clips max_keep
+        max_new_tokens=8, decode_block=8, verbose=False,
+        pipelined_dispatch=True,
+    )
+    engine = QwenASREngine(cfg)
+    audio = _audio(3.5, 520.0)
+    # rollback 0 -> stable tail (8) > clipped max_keep (n_ctx budget 6):
+    # the mismatch branch must discard the spec and redo chunk 1
+    np.random.seed(5)
+    res = engine.asr(audio, "", "English", chunk_size_sec=2.0,
+                     temperature=0.0, rollback_num=0)
+    assert isinstance(res.text, str)
+
+    # same run without pipelining must agree (greedy, seeded retries)
+    cfg2 = dataclasses.replace(cfg, pipelined_dispatch=False)
+    engine2 = QwenASREngine(cfg2)
+    np.random.seed(5)
+    res2 = engine2.asr(audio, "", "English", chunk_size_sec=2.0,
+                       temperature=0.0, rollback_num=0)
+    assert res.text == res2.text
