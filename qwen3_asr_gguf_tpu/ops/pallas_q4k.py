@@ -156,40 +156,51 @@ def dequant_mxu(w: Q4KMXUWeight, dtype=jnp.bfloat16) -> jax.Array:
     return dense.reshape(*ints.shape[:-1], k).astype(dtype)
 
 
-def _kernel(x_ref, w_ref, s_ref, off_ref, o_ref):
-    """One (BN-channel, SUBK-lane) step: quantize the activation slice to
+def _kernel(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
+    """One (SUBK-lane, BN-channel) step: quantize the activation slice to
     int8 PER 32-GROUP in-kernel (llama.cpp's q8_1 semantics — one outlier
     no longer poisons a whole row, VERDICT r2 weak #5), run the group-masked
     int8 MXU dot, and apply scale AND the asymmetric-offset term here (the
     former XLA-side abs-max / mask / offset-matmul ops were ~0.35 ms/tok of
-    launch-bound VPU fusions at 1.7B)."""
-    j = pl.program_id(1)
+    launch-bound VPU fusions at 1.7B).
+
+    Grid order is (K step, channel tile) with K SLOWEST so the quantized
+    activation is computed ONCE per K step into scratch and reused by every
+    channel tile (v2 re-quantized per (i, j) step — the 152k-row lm_head
+    was requantizing the same slice ~150x)."""
+    j = pl.program_id(0)  # K step (slow axis)
+    i = pl.program_id(1)  # channel tile
+
+    @pl.when(i == 0)
+    def _():
+        x = x_ref[:]  # [1, SUBK] f32 raw activation slice
+        sub, subk = xq_s.shape
+        # group-masked copies: row g keeps only lanes of quant group g
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 1) // GROUP
+        row = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 0)
+        xm = jnp.where(lane_group == row, jnp.broadcast_to(x, (sub, subk)), 0.0)
+        # per-group int8 quantization + exact group sums (offset term)
+        amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)  # [sub, 1]
+        sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
+        xq_s[:] = jnp.clip(
+            jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        sx_s[:] = sx
+        xsum_s[:] = jnp.sum(xm, axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    x = x_ref[:]  # [1, SUBK] f32 raw activation slice
-    sub, subk = s_ref.shape[0], x.shape[1]
-    # group-masked copies: row g keeps only lanes of quant group g
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 1) // GROUP
-    row = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 0)
-    xm = jnp.where(lane_group == row, jnp.broadcast_to(x, (sub, subk)), 0.0)
-    # per-group int8 quantization + exact group sums (for the offset term)
-    amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)  # [sub, 1]
-    sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
-    xsum = jnp.sum(xm, axis=1, keepdims=True)  # [sub, 1] f32
-
     w4 = pltpu.bitcast(w_ref[:], jnp.int4)  # [BN, SUBK] signed, rows interleaved
     acc = jax.lax.dot_general(
-        xq, w4.astype(jnp.int8),
+        xq_s[:], w4.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [sub, BN] — one row per quant group in this K step
     contrib = (
-        acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32) * sx
-        + xsum * off_ref[:].astype(jnp.float32)
+        acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32) * sx_s[:]
+        + xsum_s[:] * off_ref[:].astype(jnp.float32)
     )
     o_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
@@ -208,18 +219,23 @@ def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
     n2, k = packed.shape
     n = n2 * 2
     sub = subk // GROUP  # group partials per K step
-    grid = (n // bn, k // subk)
+    grid = (k // subk, n // bn)  # K slowest: one activation quant per K step
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, subk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn // 2, subk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, subk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 2, subk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, bn), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((sub, subk), jnp.int8),
+            pltpu.VMEM((sub, 1), jnp.float32),
+            pltpu.VMEM((sub, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * sub * n * k,
             bytes_accessed=n2 * k + 4 * (k // GROUP) * n + 4 * k,
@@ -232,41 +248,52 @@ def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
 T_TILE = 8  # batch rows per multi-row kernel step (x f32 min sublane tile)
 
 
-def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref):
+def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
     """Multi-row variant: T_TILE batch rows per step. Same math as
     `_kernel` with the group-masked activation matrix stacked per row
     ([T*sub, SUBK] — 8x16 = 128 MXU rows, exactly one systolic pass) and a
     0/1 segment-sum matmul collapsing the per-(row, group) partials.
     Serving keeps 4-bit weight streaming at decode instead of remapping to
-    int8 (VERDICT r2 #6; llama.cpp's mmvq batch path is the analogue)."""
-    j = pl.program_id(2)
+    int8 (VERDICT r2 #6; llama.cpp's mmvq batch path is the analogue).
+    K is the second-slowest grid axis: the quantized activation block is
+    computed once per (batch tile, K step) into scratch."""
+    j = pl.program_id(1)  # K step
+    i = pl.program_id(2)  # channel tile (fast axis)
+    sub = s_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        x = x_ref[:]  # [T, SUBK] f32
+        t = x.shape[0]
+        subk = x.shape[1]
+        rows = t * sub
+        xr = jnp.repeat(x, sub, axis=0)  # [T*sub, SUBK] row t replicated
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 1) // GROUP
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 0) % sub
+        xm = jnp.where(lane_group == row_g, xr, 0.0)
+        amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
+        xq_s[:] = jnp.clip(
+            jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        sx_s[:] = sx
+        xsum_s[:] = jnp.sum(xm, axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    x = x_ref[:]  # [T, SUBK] f32
-    t = x.shape[0]
-    sub, subk = s_ref.shape[0], x.shape[1]
+    t = o_ref.shape[0]
     rows = t * sub
-    xr = jnp.repeat(x, sub, axis=0)  # [T*sub, SUBK] row t replicated sub times
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 1) // GROUP
-    row_g = jax.lax.broadcasted_iota(jnp.int32, (rows, subk), 0) % sub
-    xm = jnp.where(lane_group == row_g, xr, 0.0)
-    amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
-    xsum = jnp.sum(xm, axis=1, keepdims=True)
-
     w4 = pltpu.bitcast(w_ref[:], jnp.int4)
     acc = jax.lax.dot_general(
-        xq, w4.astype(jnp.int8),
+        xq_s[:], w4.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [T*sub, BN]
     s_big = jnp.concatenate([s_ref[:].astype(jnp.float32)] * t, axis=0)
     o_big = jnp.concatenate([off_ref[:].astype(jnp.float32)] * t, axis=0)
-    contrib = acc.astype(jnp.float32) * s_big * sx + xsum * o_big
+    contrib = acc.astype(jnp.float32) * s_big * sx_s[:] + xsum_s[:] * o_big
     # segment sum over each row's `sub` group partials: one tiny MXU dot
     seg_row = jax.lax.broadcasted_iota(jnp.int32, (t, rows), 1) // sub
     seg_t = jax.lax.broadcasted_iota(jnp.int32, (t, rows), 0)
@@ -284,18 +311,23 @@ def _matmul_rows_call(xf, packed, scale_t, offs_t, subk: int):
     n = n2 * 2
     t = xf.shape[0]
     sub = subk // GROUP
-    grid = (t // T_TILE, n // BN, k // subk)
+    grid = (t // T_TILE, k // subk, n // BN)
     return pl.pallas_call(
         _kernel_rows,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T_TILE, subk), lambda b, i, j: (b, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN // 2, subk), lambda b, i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, BN), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, BN), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_TILE, subk), lambda b, j, i: (b, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN // 2, subk), lambda b, j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, BN), lambda b, j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, BN), lambda b, j, i: (j, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_TILE, BN), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((T_TILE, BN), lambda b, j, i: (b, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T_TILE * sub, subk), jnp.int8),
+            pltpu.VMEM((T_TILE * sub, 1), jnp.float32),
+            pltpu.VMEM((T_TILE * sub, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t * sub * n * k,
             bytes_accessed=(t // T_TILE) * n2 * k + 4 * (k // GROUP) * n + 4 * t * k,

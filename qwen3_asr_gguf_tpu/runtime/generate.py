@@ -558,6 +558,13 @@ class Generator:
         new_state = GenState(
             cache=cache, pos=state.pos + self.block, last_token=tok, key=key, done=done
         )
+        try:
+            # start the device->host copy as soon as the block completes,
+            # instead of paying the request leg of the link round trip when
+            # the host finally blocks in collect_block (~40 ms measured)
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
         return new_state, packed
 
     @staticmethod
@@ -681,4 +688,8 @@ class SparseLogitsRunner:
             self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), audio_embd,
             jnp.int32(t), jnp.asarray(pos_padded), limit,
         )
+        try:
+            out.copy_to_host_async()  # overlap the transfer with completion
+        except AttributeError:
+            pass
         return np.asarray(out)[: len(positions)]
