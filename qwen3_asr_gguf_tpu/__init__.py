@@ -74,7 +74,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY program: each compile — even a trivial jit(reshape)
+        # — pays a ~0.4 s remote compile-service round trip on this
+        # platform, and a 50 s-audio warmup dispatches hundreds of small
+        # eager-op programs (measured: the 1.0 s default left them all
+        # uncached and warmup at 150-230 s/round; cache hits cost ~30 ms)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _compile_cache_dir = cache_dir
     except Exception:  # pragma: no cover - cache is best-effort

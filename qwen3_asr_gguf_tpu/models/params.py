@@ -194,15 +194,37 @@ def load_decoder_gguf(
     keep_packed = precision in ("q4_k", "int8")
     dense_dtype = jnp.float32 if precision == "f32" else dtype
 
-    tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
-    _logger.info("decoder load: reader+tokenizer at +%.2fs", _time.time() - _t0)
+    # 152k-vocab BPE construction is ~0.5 s of pure host work independent of
+    # the tensor load — run it on a worker thread (reader.kv is parsed and
+    # read-only by now)
+    import threading as _threading
+
+    tok_box: dict = {}
+
+    def _build_tok():
+        try:
+            tok_box["tok"] = BPETokenizer.from_gguf_kv(reader.kv)
+        except BaseException as e:
+            tok_box["error"] = e
+
+    tok_thread = _threading.Thread(target=_build_tok, daemon=True)
+    tok_thread.start()
+    _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
+
+    def _tokenizer() -> BPETokenizer:
+        tok_thread.join()
+        if "error" in tok_box:
+            raise tok_box["error"]
+        return tok_box["tok"]
 
     if precision == "int8":
         params = _load_int8_params(reader, cfg, path, dense_dtype)
-        return cfg, params, tokenizer
+        return cfg, params, _tokenizer()
     if precision == "int4":
         params = _load_int4_params(reader, cfg, path, dense_dtype)
-        return cfg, params, tokenizer
+        return cfg, params, _tokenizer()
+
+    tokenizer = _tokenizer()
 
     layers: dict[str, Any] = {}
     for mine, suffix in _LAYER_MAP.items():
@@ -399,8 +421,16 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         "final_norm": jnp.asarray(np.ascontiguousarray(flat["final_norm"]), dtype=jnp.float32),
         "lm_head": _mxu("lm_head"),
     }
-    jax.block_until_ready(out["lm_head"].packed)
-    _logger.info("int4 load: device upload done at +%.2fs", _time.time() - _t0)
+    # uploads complete asynchronously — later init work (prefill dequant,
+    # generator jit bring-up) overlaps the transfer; XLA orders any consumer
+    # after it. QWEN3_INIT_BLOCK_UPLOAD=1 restores the barrier for profiling.
+    import os as _os
+
+    if _os.environ.get("QWEN3_INIT_BLOCK_UPLOAD", "0") != "0":
+        jax.block_until_ready(out["lm_head"].packed)
+        _logger.info("int4 load: device upload done at +%.2fs", _time.time() - _t0)
+    else:
+        _logger.info("int4 load: upload dispatched (async) at +%.2fs", _time.time() - _t0)
     return out
 
 

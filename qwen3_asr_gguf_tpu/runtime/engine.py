@@ -80,31 +80,55 @@ class QwenASREngine:
         self.thinker = thinker
 
         # encoder ----------------------------------------------------------
+        # brought up on a worker thread: its host-side safetensors/sidecar
+        # load and device upload overlap the decoder load below (the two are
+        # independent; JAX dispatch is thread-safe). Joined before init
+        # returns — `self.encoder` is always set afterwards.
+        import threading
+
+        if config.precision in ("int4", "q4_k"):
+            # pallas imports cost ~1 s; warm them while the GGUF header loads
+            threading.Thread(
+                target=lambda: __import__("qwen3_asr_gguf_tpu.ops.pallas_q4k"),
+                daemon=True,
+            ).start()
+
         enc_path = os.path.join(model_dir, config.encoder_fn)
-        if config.precision == "int8":
-            # per-channel int8 rung of the reference's encoder precision
-            # ladder (04-Quantize-ASR-Encoder.py quantize_dynamic stage)
-            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int8")
-        elif config.precision in ("q4_k", "int4"):
-            enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int4")
-        elif config.precision in ("bf16", "f16"):
-            # half-precision rung (reference ships an fp16 encoder): f16 on
-            # the wire (half the upload), bf16 on device
-            enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
-            enc_params = jax.tree.map(
-                lambda a: a.astype(np.float16)
-                if getattr(a, "dtype", None) == np.float32 else a,
-                enc_params,
-            )
-        else:
-            enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
         mel_path = os.path.join(model_dir, "mel_filters.npy")
-        self.encoder = EncoderRunner(
-            enc_params, enc_cfg,
-            mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,
-            warmup_sec=config.chunk_size if self.verbose else 0.0,
-        )
-        logger.info("engine init: encoder up at +%.2fs", time.time() - t_init)
+        enc_box: dict = {}
+
+        def _encoder_up():
+            try:
+                if config.precision == "int8":
+                    # per-channel int8 rung of the reference's encoder
+                    # precision ladder (04-Quantize-ASR-Encoder.py
+                    # quantize_dynamic stage)
+                    enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int8")
+                elif config.precision in ("q4_k", "int4"):
+                    enc_cfg, enc_params = P.load_encoder_quantized(enc_path, kind="int4")
+                elif config.precision in ("bf16", "f16"):
+                    # half-precision rung (reference ships an fp16 encoder):
+                    # f16 on the wire (half the upload), bf16 on device
+                    enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
+                    enc_params = jax.tree.map(
+                        lambda a: a.astype(np.float16)
+                        if getattr(a, "dtype", None) == np.float32 else a,
+                        enc_params,
+                    )
+                else:
+                    enc_cfg, enc_params = P.load_encoder_safetensors(enc_path, as_numpy=True)
+                enc_box["runner"] = EncoderRunner(
+                    enc_params, enc_cfg,
+                    mel_filters=np.load(mel_path) if os.path.exists(mel_path) else None,
+                    warmup_sec=config.chunk_size if self.verbose else 0.0,
+                )
+                enc_box["cfg"] = enc_cfg
+                logger.info("engine init: encoder up at +%.2fs", time.time() - t_init)
+            except BaseException as e:
+                enc_box["error"] = e
+
+        enc_thread = threading.Thread(target=_encoder_up, daemon=True)
+        enc_thread.start()
 
         # decoder ----------------------------------------------------------
         # multi-chip inference: mesh_shape (e.g. {"model": 8}) TP-shards the
@@ -136,21 +160,25 @@ class QwenASREngine:
         ]
         # int4: prefill runs through a one-time bf16 dequant of the layer
         # weights (prefill is MXU-bound; per-call dense-dequant of the int4
-        # containers cost ~50-80 ms per chunk), decode keeps streaming 4-bit
-        prefill_params = (
-            P.dequant_prefill_params(dec_params)
-            if dec_precision == "int4" else None
-        )
+        # containers cost ~50-80 ms per chunk), decode keeps streaming 4-bit.
+        # The dequant is derived lazily at first prefill (Generator
+        # property) so init stays load-and-go.
         self.generator = Generator(
             dec_params, dec_cfg,
             n_ctx=config.n_ctx,
             eos_ids=thinker.eos_token_ids,
             block=config.decode_block,
             cache_dtype=kv_dtype,
-            prefill_params=prefill_params,
+            dequant_prefill=dec_precision == "int4",
             mesh=mesh,
         )
         logger.info("engine init: generator up at +%.2fs", time.time() - t_init)
+
+        enc_thread.join()
+        if "error" in enc_box:
+            raise enc_box["error"]
+        self.encoder = enc_box["runner"]
+        enc_cfg = enc_box["cfg"]
 
         # aligner ----------------------------------------------------------
         # brought up on a background thread: its host-side GGUF/numpy work

@@ -71,6 +71,8 @@ class Generator:
         bucket: int = 128,
         block: int = 64,
         prefill_params: dict | None = None,
+        dequant_prefill: bool = False,  # derive a dense bf16 prefill view
+        #                                 of int4 weights on first prefill
         mesh=None,  # jax.sharding.Mesh: TP-shard weights/cache over "model"
     ):
         self.mesh = mesh
@@ -91,9 +93,11 @@ class Generator:
         # prefill may run through a different weight representation than the
         # decode matvecs: with int4 weights the per-call dense-dequant
         # materialization costs ~50-80 ms per prefill; a one-time bf16
-        # dequant at init (engine passes it here) removes that while decode
-        # keeps streaming 4-bit
-        self.prefill_params = prefill_params if prefill_params is not None else params
+        # dequant (see the `prefill_params` property) removes that while
+        # decode keeps streaming 4-bit. Derived lazily at first prefill —
+        # engine init stays load-and-go like the reference's mmap bring-up.
+        self._prefill_params = prefill_params
+        self._dequant_prefill = dequant_prefill and mesh is None
         self.cfg = cfg
         self.n_ctx = n_ctx
         self.eos_ids = jnp.asarray(list(eos_ids), dtype=jnp.int32)
@@ -103,9 +107,9 @@ class Generator:
         # unstacked per-layer weights for the UNROLLED decode step (a scan
         # over stacked weights copies every slice it feeds to a matmul —
         # decoder.unstack_layers). ~2x weight HBM, bought back in tok/s.
-        self.layers_list = jax.jit(
-            lambda ls: dec.unstack_layers(ls, cfg.num_layers)
-        )(params["layers"])
+        # Derived lazily (`layers_list` property): the jit trace + dispatch
+        # cost moves off engine init onto warmup.
+        self._layers_list = None
         # fused int8 MLP matvec kernel for the decode step (one HBM stream
         # for Wg/Wu/Wd instead of three op-bounded matmuls). Measured OFF:
         # in the full 28-layer step the pallas_call is a scheduling barrier
@@ -119,33 +123,60 @@ class Generator:
             and _os.environ.get("QWEN3_FUSED_MLP", "0") != "0"
             and self._mlp_fusable()
         )
-        if self.fused_mlp:
-            self.layers_list = jax.jit(dec.split_mlp_weights)(self.layers_list)
         # A/B knob (default off — measured neutral, 0.01156 vs 0.01145):
         # pass the STACKED layer arrays to the block program and unstack at
         # trace time (static leading-axis slices alias): ~16 arg buffers
         # instead of ~450 per dispatch. Arg marshaling turned out NOT to be
         # the residual per-block overhead.
         self._stacked_args = _os.environ.get("QWEN3_STACKED_ARGS", "0") != "0"
-        self._block_layers_arg = (
-            params["layers"] if (self._stacked_args and not self.fused_mlp)
-            else self.layers_list
-        )
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
         self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
         self._block_jit = self._build_block()
         self._rebase_jit = self._build_rebase()
 
+    @property
+    def prefill_params(self) -> dict:
+        """Prefill-side weight view, derived on first use (int4 engines pass
+        dequant_prefill=True and pay the dense bf16 dequant at warmup, not
+        engine init)."""
+        if self._prefill_params is None:
+            if self._dequant_prefill:
+                from ..models.params import dequant_prefill_params
+
+                self._prefill_params = dequant_prefill_params(self.params)
+            else:
+                self._prefill_params = self.params
+        return self._prefill_params
+
+    @property
+    def layers_list(self) -> list:
+        if self._layers_list is None:
+            ll = jax.jit(
+                lambda ls: dec.unstack_layers(ls, self.cfg.num_layers)
+            )(self.params["layers"])
+            if self.fused_mlp:
+                ll = jax.jit(dec.split_mlp_weights)(ll)
+            self._layers_list = ll
+        return self._layers_list
+
+    @property
+    def _block_layers_arg(self):
+        if self._stacked_args and not self.fused_mlp:
+            return self.params["layers"]
+        return self.layers_list
+
     def _mlp_fusable(self) -> bool:
         from ..ops.qtensor import Int8Weight
 
-        layer0 = self.layers_list[0]
-        gu = layer0.get("gateup_proj")
+        # inspect the STACKED containers (leading axis = layer) so the check
+        # does not force the lazy unstack
+        layers = self.params["layers"]
+        gu = layers.get("gateup_proj")
         if not isinstance(gu, Int8Weight):
             return False
-        m, d = gu.q.shape[0] // 2, gu.q.shape[1]
-        return m % 512 == 0 and d % 128 == 0 and isinstance(layer0.get("down_proj"), Int8Weight)
+        m, d = gu.q.shape[-2] // 2, gu.q.shape[-1]
+        return m % 512 == 0 and d % 128 == 0 and isinstance(layers.get("down_proj"), Int8Weight)
 
     # -- jitted programs ---------------------------------------------------
 
