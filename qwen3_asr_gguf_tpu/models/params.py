@@ -100,6 +100,39 @@ def _sidecar_save(sidecar_dir: Path, flat: dict[str, np.ndarray]) -> None:
         pass  # read-only model dir: skip caching
 
 
+_SIDECAR_META = "__meta.pkl"
+
+
+def _sidecar_meta_save(sidecar_dir: Path, cfg, tokenizer) -> None:
+    """Cache (decoder config, built tokenizer) next to the tensor sidecar:
+    a warm engine init then skips GGUF header/kv parsing AND the 152k-vocab
+    BPE build entirely (~1.4 s of GIL-bound host work on the init critical
+    path)."""
+    import pickle
+
+    try:
+        sidecar_dir.mkdir(exist_ok=True)
+        tmp = sidecar_dir / (_SIDECAR_META + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump((cfg, tokenizer), f, protocol=pickle.HIGHEST_PROTOCOL)
+        tmp.replace(sidecar_dir / _SIDECAR_META)
+    except (OSError, pickle.PicklingError):
+        pass
+
+
+def _sidecar_meta_load(sidecar_dir: Path, src_mtime: float):
+    import pickle
+
+    p = sidecar_dir / _SIDECAR_META
+    try:
+        if not (p.exists() and p.stat().st_mtime >= src_mtime):
+            return None
+        with open(p, "rb") as f:
+            return pickle.load(f)
+    except Exception:  # stale/incompatible pickle: rebuild from the GGUF
+        return None
+
+
 def _embed_to_flat(reader: GGUFReader, flat: dict) -> None:
     """token_embd into the sidecar. When the file stores q6_k (the q4_k_m
     convention) keep the PACKED bytes: ~156 MB uploaded + one on-device
@@ -189,42 +222,59 @@ def load_decoder_gguf(
     from .. import logger as _logger
 
     _t0 = _time.time()
-    reader = GGUFReader(path)
-    cfg = decoder_config_from_gguf(reader)
-    keep_packed = precision in ("q4_k", "int8")
     dense_dtype = jnp.float32 if precision == "f32" else dtype
 
-    # 152k-vocab BPE construction is ~0.5 s of pure host work independent of
-    # the tensor load — run it on a worker thread (reader.kv is parsed and
-    # read-only by now)
-    import threading as _threading
+    if precision in ("int8", "int4"):
+        # warm path: the per-tensor sidecar carries a (config, tokenizer)
+        # meta pickle too — a fresh sidecar means the GGUF file is never
+        # opened, skipping ~1.4 s of GIL-bound header/kv parse + BPE build
+        sidecar_dir = Path(path + "." + precision)
+        src_mtime = Path(path).stat().st_mtime
+        loader = _load_int8_params if precision == "int8" else _load_int4_params
+        reader_box: dict = {}
 
-    tok_box: dict = {}
+        def _reader() -> GGUFReader:
+            if "r" not in reader_box:
+                reader_box["r"] = GGUFReader(path)
+            return reader_box["r"]
 
-    def _build_tok():
-        try:
-            tok_box["tok"] = BPETokenizer.from_gguf_kv(reader.kv)
-        except BaseException as e:
-            tok_box["error"] = e
+        meta = _sidecar_meta_load(sidecar_dir, src_mtime)
+        if meta is not None:
+            cfg, tokenizer = meta
+            _logger.info("decoder load: sidecar meta hit at +%.2fs", _time.time() - _t0)
+            return cfg, loader(_reader, cfg, path, dense_dtype), tokenizer
 
-    tok_thread = _threading.Thread(target=_build_tok, daemon=True)
-    tok_thread.start()
-    _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
+        reader = _reader()
+        cfg = decoder_config_from_gguf(reader)
+        # 152k-vocab BPE construction is ~0.5 s of pure host work
+        # independent of the tensor load — run it on a worker thread
+        # (reader.kv is parsed and read-only by now)
+        import threading as _threading
 
-    def _tokenizer() -> BPETokenizer:
+        tok_box: dict = {}
+
+        def _build_tok():
+            try:
+                tok_box["tok"] = BPETokenizer.from_gguf_kv(reader.kv)
+            except BaseException as e:
+                tok_box["error"] = e
+
+        tok_thread = _threading.Thread(target=_build_tok, daemon=True)
+        tok_thread.start()
+        _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
+        params = loader(_reader, cfg, path, dense_dtype)
         tok_thread.join()
         if "error" in tok_box:
             raise tok_box["error"]
-        return tok_box["tok"]
+        tokenizer = tok_box["tok"]
+        _sidecar_meta_save(sidecar_dir, cfg, tokenizer)
+        return cfg, params, tokenizer
 
-    if precision == "int8":
-        params = _load_int8_params(reader, cfg, path, dense_dtype)
-        return cfg, params, _tokenizer()
-    if precision == "int4":
-        params = _load_int4_params(reader, cfg, path, dense_dtype)
-        return cfg, params, _tokenizer()
-
-    tokenizer = _tokenizer()
+    reader = GGUFReader(path)
+    cfg = decoder_config_from_gguf(reader)
+    keep_packed = precision in ("q4_k", "int8")
+    _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
+    tokenizer = BPETokenizer.from_gguf_kv(reader.kv)
 
     layers: dict[str, Any] = {}
     for mine, suffix in _LAYER_MAP.items():
@@ -260,7 +310,7 @@ def load_decoder_gguf(
     return cfg, params, tokenizer
 
 
-def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
     """int8 load path: q4_k/q6_k content requantized to per-channel int8 on
     the host (decode through the packed int4 kernel is VPU-dequant-bound;
     int8 rides the MXU's native path at ~2.6x the tokens/s). The converted
@@ -283,6 +333,7 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
         flat = {k: z[k] for k in z.files}
         _sidecar_save(sidecar_dir, flat)  # migrate once to per-tensor layout
     else:
+        reader = reader_fn()
         flat: dict[str, np.ndarray] = {}
         for mine, suffix in _LAYER_MAP.items():
             if mine in _QUANTIZABLE:
@@ -329,7 +380,7 @@ def _load_int8_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     }
 
 
-def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
     """int4 load path: q4_k content repacked into the MXU matvec layout
     (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
     exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
@@ -350,6 +401,8 @@ def _load_int4_params(reader: GGUFReader, cfg: TextDecoderConfig, path: str, den
     if cached is not None:
         flat = cached
     else:
+        reader = reader_fn()
+
         def _mxu_parts(name: str):
             ti = reader.tensors[name]
             if ti.ggml_type == q.GGML_Q4_K and len(ti.shape) == 2:

@@ -173,6 +173,10 @@ class QwenASREngine:
             mesh=mesh,
         )
         logger.info("engine init: generator up at +%.2fs", time.time() - t_init)
+        # materialize the prefill/unstacked weight views in the background
+        # NOW, while no KV cache or activations are live (peak-HBM safe) —
+        # init does not block on the device work
+        self.generator.warm_derivations_async()
 
         enc_thread.join()
         if "error" in enc_box:

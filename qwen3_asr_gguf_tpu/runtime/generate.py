@@ -98,6 +98,9 @@ class Generator:
         # engine init stays load-and-go like the reference's mmap bring-up.
         self._prefill_params = prefill_params
         self._dequant_prefill = dequant_prefill and mesh is None
+        import threading as _threading
+
+        self._derive_lock = _threading.RLock()
         self.cfg = cfg
         self.n_ctx = n_ctx
         self.eos_ids = jnp.asarray(list(eos_ids), dtype=jnp.int32)
@@ -138,27 +141,44 @@ class Generator:
     @property
     def prefill_params(self) -> dict:
         """Prefill-side weight view, derived on first use (int4 engines pass
-        dequant_prefill=True and pay the dense bf16 dequant at warmup, not
-        engine init)."""
-        if self._prefill_params is None:
-            if self._dequant_prefill:
-                from ..models.params import dequant_prefill_params
+        dequant_prefill=True and pay the dense bf16 dequant after init, not
+        during it)."""
+        with self._derive_lock:
+            if self._prefill_params is None:
+                if self._dequant_prefill:
+                    from ..models.params import dequant_prefill_params
 
-                self._prefill_params = dequant_prefill_params(self.params)
-            else:
-                self._prefill_params = self.params
-        return self._prefill_params
+                    self._prefill_params = dequant_prefill_params(self.params)
+                else:
+                    self._prefill_params = self.params
+            return self._prefill_params
 
     @property
     def layers_list(self) -> list:
-        if self._layers_list is None:
-            ll = jax.jit(
-                lambda ls: dec.unstack_layers(ls, self.cfg.num_layers)
-            )(self.params["layers"])
-            if self.fused_mlp:
-                ll = jax.jit(dec.split_mlp_weights)(ll)
-            self._layers_list = ll
-        return self._layers_list
+        with self._derive_lock:
+            if self._layers_list is None:
+                ll = jax.jit(
+                    lambda ls: dec.unstack_layers(ls, self.cfg.num_layers)
+                )(self.params["layers"])
+                if self.fused_mlp:
+                    ll = jax.jit(dec.split_mlp_weights)(ll)
+                self._layers_list = ll
+            return self._layers_list
+
+    def warm_derivations_async(self) -> None:
+        """Materialize the lazy weight views on a worker thread, called by
+        the engine right after init returns: the dispatches overlap the
+        caller's own bring-up, and — unlike deriving at first decode — they
+        run while no KV cache / activation buffers are live yet (deriving
+        the ~3.7 GB of dense-prefill + unstacked views mid-request OOMed a
+        16 GB chip)."""
+        import threading
+
+        threading.Thread(
+            target=lambda: (self.prefill_params, self.layers_list),
+            daemon=True,
+            name="gen-derive",
+        ).start()
 
     @property
     def _block_layers_arg(self):
