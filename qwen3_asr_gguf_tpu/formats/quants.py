@@ -393,10 +393,55 @@ class PackedQ4:
     scale: np.ndarray
     minv: np.ndarray
     shape: tuple[int, int]
+    # Native q4_k factorization of scale/minv when the source had one
+    # (scale = d * sc6, minv = dmin * mn6, 8 groups per superblock):
+    # sc6/mn6 u8 [N, K//32], d/dmin f32 [N, K//256]. The Pallas matvec
+    # layout streams THESE (2.5 B/group) instead of the expanded f32
+    # planes (8 B/group) — see ops.pallas_q4k.pack_q4k_mxu.
+    sc6: np.ndarray | None = None
+    mn6: np.ndarray | None = None
+    d: np.ndarray | None = None
+    dmin: np.ndarray | None = None
 
     @property
     def nbytes(self) -> int:
         return self.packed.nbytes + self.scale.nbytes + self.minv.nbytes
+
+
+def factorize_q4k_scales(
+    scale: np.ndarray, minv: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fit expanded per-32-group planes to the q4_k 6-bit/superblock form:
+    scale ~= d * sc6 with d = max(scale over 8 groups)/63 (exactly the
+    ggml fit, quants spec above). Used for weights quantized directly from
+    f32 (no native q4_k structure); adds <= d/2 scale error, the same
+    rounding q4_k itself carries. Group count pads up to a superblock."""
+    n, g = scale.shape
+    s = -(-g // 8)
+    pad = s * 8 - g
+    if pad:
+        scale = np.concatenate([scale, np.zeros((n, pad), scale.dtype)], axis=1)
+        minv = np.concatenate([minv, np.zeros((n, pad), minv.dtype)], axis=1)
+    sc_r = scale.reshape(n, s, 8).astype(np.float32)
+    mn_r = minv.reshape(n, s, 8).astype(np.float32)
+    d = sc_r.max(axis=-1) / 63.0
+    dmin = mn_r.max(axis=-1) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    inv_m = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1.0, dmin), 0.0)
+    sc6 = np.clip(np.rint(sc_r * inv_d[..., None]), 0, 63).astype(np.uint8)
+    mn6 = np.clip(np.rint(mn_r * inv_m[..., None]), 0, 63).astype(np.uint8)
+    return sc6.reshape(n, s * 8)[:, :g], mn6.reshape(n, s * 8)[:, :g], d, dmin
+
+
+def _q4k_raw_scales(
+    q4k_bytes: np.ndarray, n: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(sc6, mn6, d, dmin) straight out of the superblock bytes."""
+    blocks = np.ascontiguousarray(q4k_bytes.reshape(-1, 144))
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32).reshape(n, k // 256)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(n, k // 256)
+    sc, mn = _unpack_6bit_scales(blocks[:, 4:16])
+    return sc.reshape(n, k // 32), mn.reshape(n, k // 32), d, dmin
 
 
 def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
@@ -407,7 +452,11 @@ def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
 
     if native.available() and k <= native.MAX_NATIVE_K:
         packed, scale, minv = native.repack_q4k(np.asarray(q4k_bytes).view(np.uint8), n, k)
-        return PackedQ4(packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k))
+        sc6, mn6, d, dmin = _q4k_raw_scales(np.asarray(q4k_bytes).view(np.uint8), n, k)
+        return PackedQ4(
+            packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k),
+            sc6=sc6, mn6=mn6, d=d, dmin=dmin,
+        )
     blocks = np.ascontiguousarray(q4k_bytes.reshape(-1, 144))
     nb = blocks.shape[0]
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
@@ -425,7 +474,11 @@ def repack_q4_k(q4k_bytes: np.ndarray, shape: tuple[int, int]) -> PackedQ4:
 
     half = k // 2
     packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
-    return PackedQ4(packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k))
+    return PackedQ4(
+        packed=packed[:, perm], scale=scale, minv=minv, shape=(n, k),
+        sc6=sc.reshape(n, k // 32), mn6=mn.reshape(n, k // 32),
+        d=d.reshape(n, k // 256), dmin=dmin.reshape(n, k // 256),
+    )
 
 
 def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
@@ -443,7 +496,11 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
         packed, scale, minv = native.pack_q4_direct(np.asarray(w, dtype=np.float32))
         if perm is not None:
             packed = packed[:, perm]
-        return PackedQ4(packed=packed, scale=scale, minv=minv, shape=(n, k))
+        sc6, mn6, d, dmin = factorize_q4k_scales(scale, minv)
+        return PackedQ4(
+            packed=packed, scale=scale, minv=minv, shape=(n, k),
+            sc6=sc6, mn6=mn6, d=d, dmin=dmin,
+        )
     assert k % group == 0
     g = w.reshape(n, k // group, group).astype(np.float32)
     gmin = np.minimum(g.min(axis=-1), 0.0)
@@ -456,7 +513,11 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
     packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
     if perm is not None:
         packed = packed[:, perm]
-    return PackedQ4(packed=packed, scale=scale, minv=-gmin, shape=(n, k))
+    sc6, mn6, d, dmin = factorize_q4k_scales(scale, -gmin)
+    return PackedQ4(
+        packed=packed, scale=scale, minv=-gmin, shape=(n, k),
+        sc6=sc6, mn6=mn6, d=d, dmin=dmin,
+    )
 
 
 def is_rank_major(p: PackedQ4) -> bool:

@@ -79,7 +79,10 @@ def _sidecar_load(
 
 def _sidecar_expected(kind: str) -> set[str]:
     """The full tensor-key set a {int8|int4} sidecar must contain."""
-    quant_suffixes = {"int8": ("q", "scale"), "int4": ("packed", "scale_t", "offs_t")}[kind]
+    quant_suffixes = {
+        "int8": ("q", "scale"),
+        "int4": ("packed", "sub_t", "min_t", "dd_t"),
+    }[kind]
     keys: set[str] = {"embed", "final_norm"}
     keys.update(f"lm_head.{s}" for s in quant_suffixes)
     for mine in _LAYER_MAP:
@@ -414,9 +417,8 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
         for mine, suffix in _LAYER_MAP.items():
             if mine in _QUANTIZABLE:
                 parts = [_mxu_parts(f"blk.{i}.{suffix}") for i in range(cfg.num_layers)]
-                flat[f"layers.{mine}.packed"] = np.stack([p[0] for p in parts])
-                flat[f"layers.{mine}.scale_t"] = np.stack([p[1] for p in parts])
-                flat[f"layers.{mine}.offs_t"] = np.stack([p[2] for p in parts])
+                for fi, suf in enumerate(("packed", "sub_t", "min_t", "dd_t")):
+                    flat[f"layers.{mine}.{suf}"] = np.stack([p[fi] for p in parts])
             else:
                 flat[f"layers.{mine}"] = np.stack([
                     reader.tensor(f"blk.{i}.{suffix}", dtype=np.float32)
@@ -425,9 +427,9 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
         _embed_to_flat(reader, flat)  # packed q6_k embed when available
         flat["final_norm"] = reader.tensor("output_norm.weight", dtype=np.float32)
         head_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
-        hp, hs, ho = _mxu_parts(head_name)
-        hp, hs, ho = pad_rows(hp, hs, ho)
-        flat["lm_head.packed"], flat["lm_head.scale_t"], flat["lm_head.offs_t"] = hp, hs, ho
+        head = pad_rows(*_mxu_parts(head_name))
+        for fi, suf in enumerate(("packed", "sub_t", "min_t", "dd_t")):
+            flat[f"lm_head.{suf}"] = head[fi]
         _sidecar_save(sidecar_dir, flat)
 
     import time as _time
@@ -436,29 +438,16 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
 
     _t0 = _time.time()
 
-    def _bf16(a: np.ndarray) -> np.ndarray:
-        import ml_dtypes
-
-        # mmap-loaded bf16 .npy files come back as raw 2-byte void records
-        return a.view(ml_dtypes.bfloat16) if a.dtype.kind == "V" else a
-
     def _mxu(prefix: str) -> Q4KMXUWeight:
-        packed = flat[f"{prefix}.packed"]
-        scale_t = _bf16(flat[f"{prefix}.scale_t"])
-        offs_t = _bf16(flat[f"{prefix}.offs_t"])
+        parts = tuple(
+            flat[f"{prefix}.{suf}"] for suf in ("packed", "sub_t", "min_t", "dd_t")
+        )
         if prefix == "lm_head":
             # pad the head to the wide kernel tile (pick_bn) so the 152k-row
             # matvec runs at the bigger BN; zero rows dequantize to exactly 0
             # and lm_logits slices them away
-            packed, scale_t, offs_t = pad_rows(
-                np.asarray(packed), np.asarray(scale_t), np.asarray(offs_t),
-                multiple=1024,
-            )
-        return Q4KMXUWeight(
-            packed=jnp.asarray(packed),
-            scale_t=jnp.asarray(scale_t),
-            offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
-        )
+            parts = pad_rows(*(np.asarray(a) for a in parts), multiple=1024)
+        return Q4KMXUWeight(*(jnp.asarray(a) for a in parts))
 
     layers: dict[str, Any] = {}
     for mine in _LAYER_MAP:
@@ -585,8 +574,9 @@ def fuse_layer_weights(params: dict) -> dict:
             # has an even channel count, so nibble pairs never straddle)
             return Q4KMXUWeight(
                 packed=jnp.concatenate([w.packed for w in ws], axis=-2),
-                scale_t=jnp.concatenate([w.scale_t for w in ws], axis=-1),
-                offs_t=jnp.concatenate([w.offs_t for w in ws], axis=-1),
+                sub_t=jnp.concatenate([w.sub_t for w in ws], axis=-1),
+                min_t=jnp.concatenate([w.min_t for w in ws], axis=-1),
+                dd_t=jnp.concatenate([w.dd_t for w in ws], axis=-1),
             )
         if isinstance(ws[0], Q4Weight):
             return Q4Weight(

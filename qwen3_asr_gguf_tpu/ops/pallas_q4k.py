@@ -29,10 +29,11 @@ by never touching weight elements on the VPU:
   contributes sum_g offs[n,g] * (sum of x over group g) — ONE tiny XLA
   matmul [1, G] @ [G, N] outside the kernel.
 
-Quality: weight dequantization keeps q4_k's exact int values and 32-group
-structure; scales/offsets are stored bf16 (<=0.4% scale rounding, far
-beneath int4 quantization noise). The remaining approximation is the
-int8 activation quant shared with the production int8 path and llama.cpp.
+Quality: weight dequantization keeps q4_k's exact int values AND exact
+scales — the factored 6-bit sub-scales are integers and the f32 supers
+hold the file's f16 without rounding, so GGUF-sourced dequant is
+bit-exact q4_k. The remaining approximation is the int8 activation quant
+shared with the production int8 path and llama.cpp.
 """
 
 from __future__ import annotations
@@ -64,28 +65,34 @@ def pick_subk(k: int) -> int | None:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["packed", "scale_t", "offs_t"],
+    data_fields=["packed", "sub_t", "min_t", "dd_t"],
     meta_fields=[],
 )
 @dataclass
 class Q4KMXUWeight:
-    """q4_k weight in the MXU matvec layout.
+    """q4_k weight in the MXU matvec layout, scales in NATIVE q4_k
+    factorized form (the expanded bf16 [G, N] scale/offset planes of v1-v3
+    were 4 B per 32-group — 25% of the weight's own HBM bytes every
+    token; the factored form is 3 B and reconstructs EXACTLY, f32 supers
+    hold the file's f16 without rounding).
 
-    packed  : uint8 [..., N//2, K] — signed nibbles (q-8), channel PAIRS per
-              byte: byte[r, k] holds channel 2r in its low nibble and 2r+1
-              in its high nibble (matches pltpu.bitcast row interleave).
-              K is in NATURAL order (no rank-major permute).
-    scale_t : bf16 [..., G, N] — per-32-group q4_k scale, TRANSPOSED so the
-              kernel's K-step j reads rows [16j, 16j+16). bf16 because
-              Mosaic has no f16; the <=0.4% scale rounding sits far below
-              int4 quantization noise.
-    offs_t  : bf16 [..., G, N] — (8*scale - minv), transposed; consumed by
-              the XLA offset matmul, never by the kernel.
+    packed : uint8 [..., N//2, K] — signed nibbles (q-8), channel PAIRS per
+             byte: byte[r, k] holds channel 2r in its low nibble and 2r+1
+             in its high nibble (matches pltpu.bitcast row interleave).
+             K is in NATURAL order (no rank-major permute).
+    sub_t  : u8 [..., G, N] — 6-bit q4_k sub-scale per 32-group, TRANSPOSED
+             so the kernel's K-step j reads rows [j*sub, (j+1)*sub).
+    min_t  : u8 [..., G, N] — 6-bit q4_k sub-min.
+    dd_t   : f32 [..., 2*S, N], S = ceil(G/8) superblocks — per-superblock
+             super-scales INTERLEAVED (row 2s = d_s, row 2s+1 = dmin_s) so
+             each K step's supers are one contiguous sublane run.
+             scale[g] = sub[g] * d[g//8];  minv[g] = min[g] * dmin[g//8].
     """
 
     packed: jax.Array
-    scale_t: jax.Array
-    offs_t: jax.Array
+    sub_t: jax.Array
+    min_t: jax.Array
+    dd_t: jax.Array
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -93,8 +100,12 @@ class Q4KMXUWeight:
         return (n2 * 2, k)
 
 
-def pack_q4k_mxu(p: "q.PackedQ4") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host conversion PackedQ4 -> (packed, scale_t, offs_t) numpy arrays.
+def pack_q4k_mxu(
+    p: "q.PackedQ4",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host conversion PackedQ4 -> (packed, sub_t, min_t, dd_t) numpy
+    arrays. Sources without native q4_k structure (direct-packed f32) are
+    factorized through 6-bit supers — the same fit q4_k itself uses.
 
     No N padding here — fusion concatenates pieces first; `pad_rows`
     aligns the final tensor to the kernel's BN tile.
@@ -103,66 +114,108 @@ def pack_q4k_mxu(p: "q.PackedQ4") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     packed = p.packed
     if q.is_rank_major(p):
         packed = packed[:, q.rank_major_inverse(k // 2)]
-    import ml_dtypes
 
     ints = np.concatenate([packed & 0x0F, packed >> 4], axis=-1).astype(np.int8)  # [N, K] 0..15
     ints -= 8  # signed
     nib = (ints & 0xF).astype(np.uint8)
     rows = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)  # [N//2, K]
-    scale_t = np.ascontiguousarray(p.scale.T).astype(ml_dtypes.bfloat16)  # [G, N]
-    offs_t = np.ascontiguousarray((8.0 * p.scale - p.minv).T).astype(ml_dtypes.bfloat16)
-    return rows, scale_t, offs_t
+
+    if p.sc6 is not None:
+        sc6, mn6, d, dmin = p.sc6, p.mn6, p.d, p.dmin
+    else:
+        sc6, mn6, d, dmin = q.factorize_q4k_scales(p.scale, p.minv)
+    sub_t = np.ascontiguousarray(sc6.T).astype(np.uint8)  # [G, N]
+    min_t = np.ascontiguousarray(mn6.T).astype(np.uint8)
+    dd = np.stack([d.T, dmin.T], axis=1).reshape(2 * d.shape[1], n)  # [2S, N]
+    return rows, sub_t, min_t, np.ascontiguousarray(dd).astype(np.float32)
 
 
 def pad_rows(
-    rows: np.ndarray, scale_t: np.ndarray, offs_t: np.ndarray, multiple: int = BN
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rows: np.ndarray, sub_t: np.ndarray, min_t: np.ndarray, dd_t: np.ndarray,
+    multiple: int = BN,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pad the channel dimension to a BN multiple (zero rows dequantize to
-    offs=0, scale=0 -> exactly 0; lm_logits slices them away)."""
+    scale=0, minv=0 -> exactly 0; lm_logits slices them away)."""
     n = rows.shape[0] * 2
     pad = (-n) % multiple
     if not pad:
-        return rows, scale_t, offs_t
+        return rows, sub_t, min_t, dd_t
     rows = np.concatenate([rows, np.zeros((pad // 2, rows.shape[1]), np.uint8)])
-    scale_t = np.concatenate([scale_t, np.zeros((scale_t.shape[0], pad), scale_t.dtype)], axis=1)
-    offs_t = np.concatenate([offs_t, np.zeros((offs_t.shape[0], pad), offs_t.dtype)], axis=1)
-    return rows, scale_t, offs_t
+    sub_t = np.concatenate([sub_t, np.zeros((sub_t.shape[0], pad), sub_t.dtype)], axis=1)
+    min_t = np.concatenate([min_t, np.zeros((min_t.shape[0], pad), min_t.dtype)], axis=1)
+    dd_t = np.concatenate([dd_t, np.zeros((dd_t.shape[0], pad), dd_t.dtype)], axis=1)
+    return rows, sub_t, min_t, dd_t
 
 
 def from_packed_q4(p: "q.PackedQ4", pad: bool = True) -> Q4KMXUWeight:
-    rows, scale_t, offs_t = pack_q4k_mxu(p)
+    rows, sub_t, min_t, dd_t = pack_q4k_mxu(p)
     if pad:
-        rows, scale_t, offs_t = pad_rows(rows, scale_t, offs_t)
+        rows, sub_t, min_t, dd_t = pad_rows(rows, sub_t, min_t, dd_t)
     return Q4KMXUWeight(
         packed=jnp.asarray(rows),
-        scale_t=jnp.asarray(scale_t),
-        offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
+        sub_t=jnp.asarray(sub_t),
+        min_t=jnp.asarray(min_t),
+        dd_t=jnp.asarray(dd_t),
     )
 
 
+def _expand_scales(w: Q4KMXUWeight) -> tuple[jax.Array, jax.Array]:
+    """(scale, minv) f32 [..., N, G] from the factored planes."""
+    g = w.sub_t.shape[-2]
+    dd = w.dd_t  # [..., 2S, N]
+    d = jnp.repeat(dd[..., 0::2, :], 8, axis=-2)[..., :g, :]
+    dm = jnp.repeat(dd[..., 1::2, :], 8, axis=-2)[..., :g, :]
+    scale = w.sub_t.astype(jnp.float32) * d
+    minv = w.min_t.astype(jnp.float32) * dm
+    return jnp.swapaxes(scale, -1, -2), jnp.swapaxes(minv, -1, -2)
+
+
 def dequant_mxu(w: Q4KMXUWeight, dtype=jnp.bfloat16) -> jax.Array:
-    """Dense [N, K] reconstruction (XLA; prefill and fallback path)."""
+    """Dense [N, K] reconstruction (XLA; prefill and fallback path).
+    Bit-exact q4_k dequant for GGUF-sourced weights (f32 supers hold the
+    file's f16 exactly; integer sub-scales are lossless)."""
     n2, k = w.packed.shape[-2:]
-    g = w.scale_t.shape[-2]
+    g = w.sub_t.shape[-2]
     group = k // g
     lo = (w.packed & 0x0F).astype(jnp.int8)
     hi = (w.packed >> 4).astype(jnp.int8)
     lo = ((lo ^ 8) - 8).astype(jnp.float32)
     hi = ((hi ^ 8) - 8).astype(jnp.float32)
     ints = jnp.stack([lo, hi], axis=-2).reshape(*w.packed.shape[:-2], n2 * 2, k)
-    scale = jnp.swapaxes(w.scale_t, -1, -2).astype(jnp.float32)  # [N, G]
-    offs = jnp.swapaxes(w.offs_t, -1, -2).astype(jnp.float32)
+    scale, minv = _expand_scales(w)  # [..., N, G]
+    offs = 8.0 * scale - minv
     dense = ints.reshape(*ints.shape[:-1], g, group) * scale[..., None] + offs[..., None]
     return dense.reshape(*ints.shape[:-1], k).astype(dtype)
 
 
-def _kernel(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
+def _expand_group_scales(sub_ref, min_ref, dd_ref):
+    """In-kernel reconstruction of per-32-group (scale, offs=8s-m) f32
+    [sub, BN] from the factored planes: two tiny constant-mask MXU dots
+    ([sub, 2S] @ [2S, BN]) broadcast each superblock's d/dmin down to its
+    8 groups — no gather, no strided slice."""
+    dd = dd_ref[:].astype(jnp.float32)  # [2S, BN] rows 2s=d_s, 2s+1=dmin_s
+    sub, two_s = sub_ref.shape[0], dd.shape[0]
+    g2 = (jax.lax.broadcasted_iota(jnp.int32, (sub, two_s), 0) // 8) * 2
+    c = jax.lax.broadcasted_iota(jnp.int32, (sub, two_s), 1)
+    dn = (((1,), (0,)), ((), ()))
+    d = jax.lax.dot_general((c == g2).astype(jnp.float32), dd, dn,
+                            preferred_element_type=jnp.float32)
+    dm = jax.lax.dot_general((c == g2 + 1).astype(jnp.float32), dd, dn,
+                             preferred_element_type=jnp.float32)
+    scale = sub_ref[:].astype(jnp.float32) * d
+    minv = min_ref[:].astype(jnp.float32) * dm
+    return scale, 8.0 * scale - minv
+
+
+def _kernel(x_ref, w_ref, sub_ref, min_ref, dd_ref, o_ref, xq_s, sx_s, xsum_s):
     """One (SUBK-lane, BN-channel) step: quantize the activation slice to
     int8 PER 32-GROUP in-kernel (llama.cpp's q8_1 semantics — one outlier
     no longer poisons a whole row, VERDICT r2 weak #5), run the group-masked
     int8 MXU dot, and apply scale AND the asymmetric-offset term here (the
     former XLA-side abs-max / mask / offset-matmul ops were ~0.35 ms/tok of
-    launch-bound VPU fusions at 1.7B).
+    launch-bound VPU fusions at 1.7B). Group scales arrive factored (6-bit
+    subs + interleaved f32 supers, 3 B/group vs 4 B expanded) and are
+    reconstructed exactly by `_expand_group_scales`.
 
     Grid order is (K step, channel tile) with K SLOWEST so the quantized
     activation is computed ONCE per K step into scratch and reused by every
@@ -198,10 +251,8 @@ def _kernel(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [sub, BN] — one row per quant group in this K step
-    contrib = (
-        acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32) * sx_s[:]
-        + xsum_s[:] * off_ref[:].astype(jnp.float32)
-    )
+    scale, offs = _expand_group_scales(sub_ref, min_ref, dd_ref)
+    contrib = acc.astype(jnp.float32) * scale * sx_s[:] + xsum_s[:] * offs
     o_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 
@@ -215,10 +266,11 @@ def pick_bn(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("subk", "bn"))
-def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
+def _matvec_call(xf, packed, sub_t, min_t, dd_t, subk: int, bn: int = BN):
     n2, k = packed.shape
     n = n2 * 2
     sub = subk // GROUP  # group partials per K step
+    sdd = 2 * (subk // 256)  # interleaved d/dmin rows per K step
     grid = (k // subk, n // bn)  # K slowest: one activation quant per K step
     return pl.pallas_call(
         _kernel,
@@ -228,6 +280,7 @@ def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
             pl.BlockSpec((bn // 2, subk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sdd, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bn), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -238,17 +291,17 @@ def _matvec_call(xf, packed, scale_t, offs_t, subk: int, bn: int = BN):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * sub * n * k,
-            bytes_accessed=n2 * k + 4 * (k // GROUP) * n + 4 * k,
+            bytes_accessed=n2 * k + 2 * (k // GROUP) * n + 8 * (k // 256) * n + 4 * k,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xf, packed, scale_t, offs_t)
+    )(xf, packed, sub_t, min_t, dd_t)
 
 
 T_TILE = 8  # batch rows per multi-row kernel step (x f32 min sublane tile)
 
 
-def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
+def _kernel_rows(x_ref, w_ref, sub_ref, min_ref, dd_ref, o_ref, xq_s, sx_s, xsum_s):
     """Multi-row variant: T_TILE batch rows per step. Same math as
     `_kernel` with the group-masked activation matrix stacked per row
     ([T*sub, SUBK] — 8x16 = 128 MXU rows, exactly one systolic pass) and a
@@ -259,7 +312,7 @@ def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
     computed once per (batch tile, K step) into scratch."""
     j = pl.program_id(1)  # K step
     i = pl.program_id(2)  # channel tile (fast axis)
-    sub = s_ref.shape[0]
+    sub = sub_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
@@ -291,8 +344,9 @@ def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [T*sub, BN]
-    s_big = jnp.concatenate([s_ref[:].astype(jnp.float32)] * t, axis=0)
-    o_big = jnp.concatenate([off_ref[:].astype(jnp.float32)] * t, axis=0)
+    scale, offs = _expand_group_scales(sub_ref, min_ref, dd_ref)
+    s_big = jnp.concatenate([scale] * t, axis=0)
+    o_big = jnp.concatenate([offs] * t, axis=0)
     contrib = acc.astype(jnp.float32) * s_big * sx_s[:] + xsum_s[:] * o_big
     # segment sum over each row's `sub` group partials: one tiny MXU dot
     seg_row = jax.lax.broadcasted_iota(jnp.int32, (t, rows), 1) // sub
@@ -306,11 +360,12 @@ def _kernel_rows(x_ref, w_ref, s_ref, off_ref, o_ref, xq_s, sx_s, xsum_s):
 
 
 @functools.partial(jax.jit, static_argnames=("subk",))
-def _matmul_rows_call(xf, packed, scale_t, offs_t, subk: int):
+def _matmul_rows_call(xf, packed, sub_t, min_t, dd_t, subk: int):
     n2, k = packed.shape
     n = n2 * 2
     t = xf.shape[0]
     sub = subk // GROUP
+    sdd = 2 * (subk // 256)
     grid = (t // T_TILE, k // subk, n // BN)
     return pl.pallas_call(
         _kernel_rows,
@@ -320,6 +375,7 @@ def _matmul_rows_call(xf, packed, scale_t, offs_t, subk: int):
             pl.BlockSpec((BN // 2, subk), lambda b, j, i: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, BN), lambda b, j, i: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, BN), lambda b, j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sdd, BN), lambda b, j, i: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T_TILE, BN), lambda b, j, i: (b, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
@@ -330,11 +386,12 @@ def _matmul_rows_call(xf, packed, scale_t, offs_t, subk: int):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t * sub * n * k,
-            bytes_accessed=(t // T_TILE) * n2 * k + 4 * (k // GROUP) * n + 4 * t * k,
+            bytes_accessed=(t // T_TILE) * n2 * k + 2 * (k // GROUP) * n
+            + 8 * (k // 256) * n + 4 * t * k,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xf, packed, scale_t, offs_t)
+    )(xf, packed, sub_t, min_t, dd_t)
 
 
 def supported_rows(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
@@ -354,7 +411,7 @@ def q4k_matmul_rows(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
     n, k = w.shape
     subk = pick_subk(k)
     xf = x.astype(jnp.float32)
-    out = _matmul_rows_call(xf, w.packed, w.scale_t, w.offs_t, subk)
+    out = _matmul_rows_call(xf, w.packed, w.sub_t, w.min_t, w.dd_t, subk)
     return out.astype(x.dtype)
 
 
@@ -412,7 +469,7 @@ def _self_check_marker():
     except Exception:
         plat_ver = "unknown"
     key = hashlib.sha1(
-        f"{jax.__version__}|{jaxlib.__version__}|{plat_ver}|v3".encode()
+        f"{jax.__version__}|{jaxlib.__version__}|{plat_ver}|v4".encode()
     ).hexdigest()[:16]
     from .. import _compile_cache_dir
 
@@ -442,7 +499,7 @@ def self_check() -> None:
     except Exception:
         marker = None
     rng = np.random.default_rng(0)
-    n, k = BN, 512  # one (BN, SUBK) tile
+    n, k = BN, 1024  # one (BN, SUBK) tile at the production subk
     p = q.pack_q4_direct(rng.normal(size=(n, k)).astype(np.float32))
     w = from_packed_q4(p, pad=True)
     x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
@@ -479,5 +536,5 @@ def q4k_matvec(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:
     n, k = w.shape
     subk = pick_subk(k)
     xf = x.reshape(1, k).astype(jnp.float32)
-    out = _matvec_call(xf, w.packed, w.scale_t, w.offs_t, subk, pick_bn(n))  # [8, N]
+    out = _matvec_call(xf, w.packed, w.sub_t, w.min_t, w.dd_t, subk, pick_bn(n))  # [8, N]
     return out[0:1, :].reshape(*x.shape[:-1], n).astype(x.dtype)

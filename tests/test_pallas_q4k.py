@@ -24,48 +24,56 @@ def _random_packed(n, k, seed=0):
 
 
 def test_dequant_mxu_vs_oracle():
-    """Same int values and group structure as the PackedQ4 oracle; the only
-    deviation is f16 scale / bf16 offset storage (<=0.4% of the scale,
-    far beneath the ~5% int4 quantization noise itself)."""
+    """Same int values and group structure as the PackedQ4 oracle; for
+    direct-packed f32 sources the only deviation is the 6-bit sub-scale
+    factorization (<= d/2 = max_scale/126 per group, the same rounding
+    native q4_k carries)."""
     p, _ = _random_packed(64, 256)
     dense_oracle = q.unpack_q4(p)
     w = pq.from_packed_q4(p, pad=False)
     dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
-    scale_mag = np.abs(p.scale).max()
-    np.testing.assert_allclose(dense, dense_oracle, atol=15 * scale_mag * 2**-8)
-    # with f32 scale/offset the reconstruction is bit-exact
-    w32 = pq.Q4KMXUWeight(
-        packed=w.packed,
-        scale_t=jnp.asarray(np.ascontiguousarray(p.scale.T)),
-        offs_t=jnp.asarray(np.ascontiguousarray((8.0 * p.scale - p.minv).T)),
-    )
-    dense32 = np.asarray(pq.dequant_mxu(w32, dtype=jnp.float32))
-    np.testing.assert_allclose(dense32, dense_oracle, rtol=0, atol=1e-6)
+    tol = (15 * np.abs(p.scale).max() + np.abs(p.minv).max()) / 126 + 1e-6
+    np.testing.assert_allclose(dense, dense_oracle, atol=tol)
+
+
+def test_dequant_mxu_bit_exact_for_native_q4k():
+    """GGUF-sourced (native q4_k) weights reconstruct BIT-EXACTLY: integer
+    6-bit sub-scales are lossless and the f32 supers hold the file's f16
+    without rounding (reference dequant semantics:
+    /root/reference/qwen_asr_gguf/export/gguf/quants.py:475-522)."""
+    rng = np.random.default_rng(41)
+    n, k = 16, 512
+    wsrc = (rng.standard_normal((n, k)) * 0.07).astype(np.float32)
+    blob = q.quantize_q4_k(wsrc)
+    dense_oracle = q.dequantize_q4_k(blob, (n, k)).astype(np.float32)
+    p = q.repack_q4_k(blob, (n, k))
+    w = pq.from_packed_q4(p, pad=False)
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
+    np.testing.assert_allclose(dense, dense_oracle, rtol=0, atol=1e-6)
 
 
 def test_pack_row_pair_layout():
     p, _ = _random_packed(8, 64, seed=3)
-    rows, scale_t, offs_t = pq.pack_q4k_mxu(p)
+    rows, sub_t, min_t, dd_t = pq.pack_q4k_mxu(p)
     assert rows.shape == (4, 64)
-    assert scale_t.shape == (2, 8) and offs_t.shape == (2, 8)
+    assert sub_t.shape == (2, 8) and min_t.shape == (2, 8)
+    assert dd_t.shape == (2, 8)  # one superblock: [d; dmin]
     # low nibble = even channel, high nibble = odd channel, signed q-8
     dense_oracle = q.unpack_q4(p)
     lo = ((rows & 0xF).astype(np.int8) ^ 8) - 8
-    scale = scale_t.T.astype(np.float32)
-    offs = offs_t.T.astype(np.float32)
+    scale = (sub_t.astype(np.float32) * dd_t[0::2].repeat(8, axis=0)[:2]).T
+    minv = (min_t.astype(np.float32) * dd_t[1::2].repeat(8, axis=0)[:2]).T
+    offs = 8.0 * scale - minv
     g = 64 // 32
     rec0 = (lo[0].reshape(g, 32) * scale[0][:, None] + offs[0][:, None]).reshape(64)
-    np.testing.assert_allclose(rec0, dense_oracle[0], atol=15 * np.abs(p.scale).max() * 2**-8)
+    tol = (15 * np.abs(p.scale).max() + np.abs(p.minv).max()) / 126 + 1e-6
+    np.testing.assert_allclose(rec0, dense_oracle[0], atol=tol)
 
 
 def test_pad_rows_dequants_to_zero():
     p, _ = _random_packed(6, 64, seed=1)
-    rows, scale_t, offs_t = pq.pack_q4k_mxu(p)
-    rows, scale_t, offs_t = pq.pad_rows(rows, scale_t, offs_t, multiple=16)
-    w = pq.Q4KMXUWeight(
-        packed=jnp.asarray(rows), scale_t=jnp.asarray(scale_t),
-        offs_t=jnp.asarray(offs_t).astype(jnp.bfloat16),
-    )
+    parts = pq.pad_rows(*pq.pack_q4k_mxu(p), multiple=16)
+    w = pq.Q4KMXUWeight(*(jnp.asarray(a) for a in parts))
     dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
     assert dense.shape == (16, 64)
     assert np.all(dense[6:] == 0.0)
@@ -100,10 +108,13 @@ def test_matmul_dispatch_matvec_and_fallback():
     y1 = np.asarray(matmul(jnp.asarray(x1), w))
     np.testing.assert_allclose(y1, x1 @ dense.T, atol=np.abs(dense).max() * k * 0.002)
 
-    # prefill shape -> dense fallback (exact dequant, f32 matmul)
+    # prefill shape -> dense fallback: matches its own dequant tightly, and
+    # the full-precision oracle within the 6-bit scale-factorization noise
     xT = (rng.standard_normal((4, k)) * 0.1).astype(np.float32)
     yT = np.asarray(matmul(jnp.asarray(xT), w))
-    np.testing.assert_allclose(yT, xT @ dense.T, rtol=2e-2, atol=5e-4)
+    dense_m = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
+    np.testing.assert_allclose(yT, xT @ dense_m.T, rtol=2e-2, atol=5e-4)
+    np.testing.assert_allclose(yT, xT @ dense.T, atol=np.abs(yT).max() * 0.05)
 
 
 def test_unsupported_shapes_fall_back():
@@ -126,7 +137,9 @@ def test_per_group_activation_quant_beats_per_row():
     n, k = pq.BN, 1024
     p, _ = _random_packed(n, k, seed=13)
     w = pq.from_packed_q4(p)
-    dense = q.unpack_q4(p)
+    # reference = the kernel's own dequantized weights, so the comparison
+    # isolates ACTIVATION quantization (not the 6-bit scale factorization)
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
     rng = np.random.default_rng(5)
     x = (rng.standard_normal((1, k)) * 0.1).astype(np.float32)
     x[0, 7] = 500.0  # outlier in group 0
@@ -154,7 +167,7 @@ def test_matvec_kernel_multi_kstep_offsets():
     n, k = pq.BN, 4096  # subk=2048 -> 2 K steps
     p, _ = _random_packed(n, k, seed=17)
     w = pq.from_packed_q4(p)
-    dense = q.unpack_q4(p)
+    dense = np.asarray(pq.dequant_mxu(w, dtype=jnp.float32))
     rng = np.random.default_rng(19)
     x = (rng.standard_normal((1, k)) * 0.2 + 0.05).astype(np.float32)
 

@@ -17,7 +17,10 @@ import numpy as np
 
 
 def parse_xspace(tracedir: str, min_us: float = 0.5):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # TF layout moved (2.16+: tsl tree)
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"), recursive=True)
     assert files, f"no xplane under {tracedir}"
