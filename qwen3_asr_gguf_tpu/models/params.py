@@ -53,17 +53,20 @@ def _sidecar_load(
     Completeness is proven by a marker file written LAST (after every
     np.save): an interrupted save can leave final_norm.npy on disk before
     the lm_head tensors, so any data file is an unsafe freshness witness.
-    Marker-less dirs from older versions migrate iff every `expected`
-    tensor file is present and fresh."""
+    The `expected` key set is ALWAYS validated (marker or not): a sidecar
+    from an older tensor layout has a fresh marker but different keys and
+    must rebuild, not KeyError at load (bit us when the int4 layout moved
+    from expanded scale planes to the factored q4_k form)."""
     marker = sidecar_dir / _SIDECAR_MARKER
-    if not (marker.exists() and marker.stat().st_mtime >= src_mtime):
-        if expected is None:
-            return None
-        files = {p.name: p for p in sidecar_dir.glob("*.npy")}
+    files = {p.name: p for p in sidecar_dir.glob("*.npy")}
+    if expected is not None:
         want = {f"{k.replace('.', '__')}.npy" for k in expected}
         if "embed__q6k.npy" in files:  # packed-embed layout stores no embed.npy
             want.discard("embed.npy")
         if not want <= files.keys():
+            return None
+    if not (marker.exists() and marker.stat().st_mtime >= src_mtime):
+        if expected is None:
             return None
         if any(files[n].stat().st_mtime < src_mtime for n in want):
             return None
@@ -71,10 +74,7 @@ def _sidecar_load(
             marker.touch()
         except OSError:
             pass
-    return {
-        f.stem.replace("__", "."): np.load(f, mmap_mode="r")
-        for f in sidecar_dir.glob("*.npy")
-    }
+    return {f.stem.replace("__", "."): np.load(f, mmap_mode="r") for f in files.values()}
 
 
 def _sidecar_expected(kind: str) -> set[str]:
