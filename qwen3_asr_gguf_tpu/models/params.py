@@ -439,8 +439,17 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
     _t0 = _time.time()
 
     def _mxu(prefix: str) -> Q4KMXUWeight:
-        parts = tuple(
-            flat[f"{prefix}.{suf}"] for suf in ("packed", "sub_t", "min_t", "dd_t")
+        def _i8(a: np.ndarray) -> np.ndarray:
+            # sidecars from the first v4 layout stored the 0..63 sub-scale
+            # planes as uint8; same bytes, but the kernel wants int8
+            # (Mosaic has no uint8->f32 cast)
+            return a.view(np.int8) if a.dtype == np.uint8 else a
+
+        parts = (
+            flat[f"{prefix}.packed"],
+            _i8(flat[f"{prefix}.sub_t"]),
+            _i8(flat[f"{prefix}.min_t"]),
+            flat[f"{prefix}.dd_t"],
         )
         if prefix == "lm_head":
             # pad the head to the wide kernel tile (pick_bn) so the 152k-row

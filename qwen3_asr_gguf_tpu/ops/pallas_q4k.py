@@ -80,9 +80,11 @@ class Q4KMXUWeight:
              byte: byte[r, k] holds channel 2r in its low nibble and 2r+1
              in its high nibble (matches pltpu.bitcast row interleave).
              K is in NATURAL order (no rank-major permute).
-    sub_t  : u8 [..., G, N] — 6-bit q4_k sub-scale per 32-group, TRANSPOSED
-             so the kernel's K-step j reads rows [j*sub, (j+1)*sub).
-    min_t  : u8 [..., G, N] — 6-bit q4_k sub-min.
+    sub_t  : i8 [..., G, N] — 6-bit q4_k sub-scale per 32-group (0..63),
+             TRANSPOSED so the kernel's K-step j reads rows
+             [j*sub, (j+1)*sub). int8 because Mosaic has no uint8->f32
+             cast path.
+    min_t  : i8 [..., G, N] — 6-bit q4_k sub-min (0..63).
     dd_t   : f32 [..., 2*S, N], S = ceil(G/8) superblocks — per-superblock
              super-scales INTERLEAVED (row 2s = d_s, row 2s+1 = dmin_s) so
              each K step's supers are one contiguous sublane run.
@@ -124,8 +126,8 @@ def pack_q4k_mxu(
         sc6, mn6, d, dmin = p.sc6, p.mn6, p.d, p.dmin
     else:
         sc6, mn6, d, dmin = q.factorize_q4k_scales(p.scale, p.minv)
-    sub_t = np.ascontiguousarray(sc6.T).astype(np.uint8)  # [G, N]
-    min_t = np.ascontiguousarray(mn6.T).astype(np.uint8)
+    sub_t = np.ascontiguousarray(sc6.T).astype(np.int8)  # [G, N], 0..63
+    min_t = np.ascontiguousarray(mn6.T).astype(np.int8)
     dd = np.stack([d.T, dmin.T], axis=1).reshape(2 * d.shape[1], n)  # [2S, N]
     return rows, sub_t, min_t, np.ascontiguousarray(dd).astype(np.float32)
 
@@ -202,8 +204,9 @@ def _expand_group_scales(sub_ref, min_ref, dd_ref):
                             preferred_element_type=jnp.float32)
     dm = jax.lax.dot_general((c == g2 + 1).astype(jnp.float32), dd, dn,
                              preferred_element_type=jnp.float32)
-    scale = sub_ref[:].astype(jnp.float32) * d
-    minv = min_ref[:].astype(jnp.float32) * dm
+    # int8 -> int32 -> f32 (Mosaic has no direct narrow-int -> f32 cast)
+    scale = sub_ref[:].astype(jnp.int32).astype(jnp.float32) * d
+    minv = min_ref[:].astype(jnp.int32).astype(jnp.float32) * dm
     return scale, 8.0 * scale - minv
 
 
