@@ -68,6 +68,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     global _compile_cache_dir
     import jax
 
+    if jax.default_backend() != "tpu":
+        # XLA:CPU cache entries are AOT-compiled for the build machine's
+        # exact CPU features; loading one on a different host can SIGILL /
+        # terminate (observed: a ~/.cache dir carried across machines
+        # aborted engine init). Only the TPU programs are portable enough
+        # to persist — CPU runs recompile.
+        return
     cache_dir = path or os.environ.get(
         "QWEN3_ASR_TPU_COMPILE_CACHE", str(Path.home() / ".cache" / "qwen3_asr_tpu_xla")
     )

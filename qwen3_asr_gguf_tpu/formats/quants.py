@@ -501,7 +501,11 @@ def pack_q4_direct(w: np.ndarray, group: int = 32) -> PackedQ4:
             packed=packed, scale=scale, minv=minv, shape=(n, k),
             sc6=sc6, mn6=mn6, d=d, dmin=dmin,
         )
-    assert k % group == 0
+    if k % group != 0:
+        raise ValueError(
+            f"int4 packing needs the K dim divisible by {group} (got {w.shape});"
+            " use precision=int8 or q4_k for this model shape"
+        )
     g = w.reshape(n, k // group, group).astype(np.float32)
     gmin = np.minimum(g.min(axis=-1), 0.0)
     gmax = np.maximum(g.max(axis=-1), 0.0)

@@ -518,8 +518,13 @@ def save_decoder_gguf(
 
     Matrix weights get `quant`; norms stay f32; token_embd/output get q6_k
     under q4_k mode (the llama.cpp q4_k_m convention) or `quant` otherwise.
+
+    The file lands atomically (tmp + rename): quantizing a large model takes
+    minutes, and an interrupted save must not leave a truncated GGUF that a
+    later run would try to parse.
     """
-    w = GGUFWriter(path, arch=arch)
+    tmp_path = path + ".tmp"
+    w = GGUFWriter(tmp_path, arch=arch)
     w.add_u32(f"{arch}.block_count", cfg.num_layers)
     w.add_u32(f"{arch}.embedding_length", cfg.hidden_size)
     w.add_u32(f"{arch}.attention.head_count", cfg.num_heads)
@@ -564,6 +569,9 @@ def save_decoder_gguf(
             t = rowsafe(mat_type, arr) if mine in _QUANTIZABLE else q.GGML_F32
             w.add_tensor(f"blk.{i}.{suffix}", arr, t)
     w.write()
+    import os as _os
+
+    _os.replace(tmp_path, path)
 
 
 def fuse_layer_weights(params: dict) -> dict:

@@ -144,10 +144,18 @@ class QwenASREngine:
             if dec_precision in ("int4",):
                 logger.info("mesh inference: decoder precision int4 -> int8")
                 dec_precision = "int8"
-        dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
-            os.path.join(model_dir, config.llm_fn),
-            precision=dec_precision,
-        )
+        try:
+            dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
+                os.path.join(model_dir, config.llm_fn),
+                precision=dec_precision,
+            )
+        except BaseException:
+            # the encoder bring-up thread is mid-flight; joining it before
+            # propagating keeps the failure a clean Python exception (a
+            # daemon thread still tracing JAX at interpreter teardown
+            # aborts the whole process)
+            enc_thread.join()
+            raise
         logger.info("engine init: decoder loaded at +%.2fs", time.time() - t_init)
         if mesh is None:
             # one qkv / gateup stream per layer (single-chip HBM optimization;

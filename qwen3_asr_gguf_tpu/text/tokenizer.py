@@ -220,7 +220,15 @@ class BPETokenizer:
 
 def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
     """Deterministic tiny tokenizer for tests/benchmarks without real vocab
-    files: all 256 byte tokens + common special tokens + ascii merges."""
+    files: all 256 byte tokens + common special tokens + ascii merges, then
+    single CJK characters as filler.
+
+    CJK filler (not ``<unusedN>``) keeps a random-weight decoder's sampled
+    output representative of the reference's benchmark workload — a Chinese
+    transcript whose aligner words are single CJK characters (reference
+    test_audio.txt; README.md:49 measures 50.2 s Chinese audio) — so the
+    forced-alignment path in benchmarks sees realistic per-char word lists
+    rather than latin ``unused123`` soup."""
     byte_enc = _bytes_to_unicode()
     tokens = [byte_enc[b] for b in range(256)]
     specials = [
@@ -236,8 +244,23 @@ def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
                 break
             merges.append(f"{a} {b}")
             tokens.append(a + b)
+    # CJK unified ranges (BMP first, then extension B), then two-char
+    # combinations once single chars run out (a 152k vocab outnumbers the
+    # ~70k unified chars); two-char pieces still split per-char in the
+    # aligner, like real multi-char CJK BPE merges do
+    cjk_ranges = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF))
+
+    def _cjk():
+        for lo, hi in cjk_ranges:
+            for c in range(lo, hi + 1):
+                yield chr(c)
+        for a in range(0x4E00, 0x9FFF):
+            for b in range(0x4E00, 0x4E00 + 40):
+                yield chr(a) + chr(b)
+
+    cjk = _cjk()
     while len(tokens) < vocab_size:
-        tokens.append(f"<unused{len(tokens)}>")
+        tokens.append(next(cjk))
     types = [TOKTYPE_NORMAL] * 256 + [TOKTYPE_CONTROL] * len(specials)
     types += [TOKTYPE_NORMAL] * (len(tokens) - len(types))
     return BPETokenizer(tokens, merges, types, eos_token_id=tokens.index("<|endoftext|>"))
