@@ -61,7 +61,8 @@ def _sidecar_load(
     files = {p.name: p for p in sidecar_dir.glob("*.npy")}
     if expected is not None:
         want = {f"{k.replace('.', '__')}.npy" for k in expected}
-        if "embed__q6k.npy" in files:  # packed-embed layout stores no embed.npy
+        if "embed__q6k.npy" in files or "embed__bf16.npy" in files:
+            # packed-q6k / raw-bf16 embed layouts store no embed.npy
             want.discard("embed.npy")
         if not want <= files.keys():
             return None
@@ -74,7 +75,23 @@ def _sidecar_load(
             marker.touch()
         except OSError:
             pass
-    return {f.stem.replace("__", "."): np.load(f, mmap_mode="r") for f in files.values()}
+    flat = {f.stem.replace("__", "."): np.load(f, mmap_mode="r") for f in files.values()}
+    if "embed.q6k" in flat and "embed.bf16" not in flat:
+        # migrate a packed-q6k-era sidecar to the raw-bf16 embed plane once
+        # (host dequant via the native codec; see _embed_to_flat for why)
+        try:
+            import ml_dtypes
+
+            from ..formats import quants as q
+
+            shape = tuple(int(s) for s in np.asarray(flat["embed.q6k_shape"]))
+            f32 = q.dequantize(np.asarray(flat["embed.q6k"]), q.GGML_Q6_K, shape)
+            bf = f32.astype(ml_dtypes.bfloat16).view(np.uint16)
+            np.save(sidecar_dir / "embed__bf16.npy", bf)
+            flat["embed.bf16"] = np.load(sidecar_dir / "embed__bf16.npy", mmap_mode="r")
+        except Exception:
+            pass  # keep the q6k device-dequant path
+    return flat
 
 
 def _sidecar_expected(kind: str) -> set[str]:
@@ -137,20 +154,30 @@ def _sidecar_meta_load(sidecar_dir: Path, src_mtime: float):
 
 
 def _embed_to_flat(reader: GGUFReader, flat: dict) -> None:
-    """token_embd into the sidecar. When the file stores q6_k (the q4_k_m
-    convention) keep the PACKED bytes: ~156 MB uploaded + one on-device
-    dequant instead of 623 MB of f16 at 1.7B — engine init is upload-bound
-    through the remote device link."""
-    ti = reader.tensors["token_embd.weight"]
-    if ti.ggml_type == q.GGML_Q6_K:
-        flat["embed.q6k"] = np.asarray(reader.tensor_bytes("token_embd.weight"), dtype=np.uint8)
-        flat["embed.q6k_shape"] = np.asarray(ti.shape, dtype=np.int64)
-    else:
-        flat["embed"] = reader.tensor("token_embd.weight", dtype=np.float32).astype(np.float16)
+    """token_embd into the sidecar as raw bf16 bytes (uint16 view — np.save
+    can't serialize the ml_dtypes bfloat16 descr).
+
+    bf16-on-disk makes the init-path embed a PURE device transfer:
+    jnp.asarray of a bf16 numpy array compiles nothing. The previous
+    packed-q6k layout uploaded 2.4x fewer bytes but paid a
+    `dequant_q6k_device` program per process — measured 2.3 s warm / 38 s
+    on a compile-cache miss vs 0.7 s for the straight 623 MB upload at the
+    link's measured ~880 MB/s. Host-side q6_k decode happens once here at
+    sidecar build (native codec; ~40 s pure-numpy fallback is one-time)."""
+    import ml_dtypes
+
+    f32 = reader.tensor("token_embd.weight", dtype=np.float32)
+    flat["embed.bf16"] = f32.astype(ml_dtypes.bfloat16).view(np.uint16)
 
 
 def _embed_device(flat: dict, dense_dtype) -> jax.Array:
-    if "embed.q6k" in flat:
+    if "embed.bf16" in flat:
+        import ml_dtypes
+
+        host = np.asarray(flat["embed.bf16"]).view(ml_dtypes.bfloat16)
+        e = jnp.asarray(host)  # transfer only — no compiled program
+        return e.astype(dense_dtype) if e.dtype != dense_dtype else e
+    if "embed.q6k" in flat:  # sidecars written before the bf16 layout
         from ..ops.qtensor import dequant_q6k_device
 
         shape = tuple(int(s) for s in np.asarray(flat["embed.q6k_shape"]))

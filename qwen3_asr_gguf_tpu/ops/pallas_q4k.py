@@ -437,6 +437,13 @@ def self_check_async(delay_s: float = 300.0) -> None:
     poisons the module; `check_error()` surfaces it from the decode hot
     path (Generator.collect_block) so a broken bitcast layout still
     hard-fails the session instead of silently garbling."""
+    try:
+        # a recorded pass for this library triple: nothing to do — don't
+        # spawn a thread that would sleep out its delay for no reason
+        if _SELF_CHECK_DONE or _self_check_marker().exists():
+            return
+    except Exception:
+        pass
     import threading
     import time as _t
 

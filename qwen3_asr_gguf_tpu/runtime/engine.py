@@ -212,6 +212,11 @@ class QwenASREngine:
 
             self._aligner_thread = threading.Thread(target=_bring_up, daemon=True)
             self._aligner_thread.start()
+            # a quick-exiting caller (init-and-quit script) must not tear
+            # down the interpreter under this thread mid-JAX
+            from ..utils import bg
+
+            bg.register(self._aligner_thread)
 
         # special ids (reference asr.py:67-71)
         self.ID_IM_START = thinker.im_start_token_id

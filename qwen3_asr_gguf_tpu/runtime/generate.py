@@ -174,11 +174,18 @@ class Generator:
         16 GB chip)."""
         import threading
 
-        threading.Thread(
+        from ..utils import bg
+
+        # strong ref on self: the exit-join registry is weak, and a
+        # quick-exiting caller must not tear down the interpreter under
+        # this thread mid-dispatch
+        self._derive_thread = threading.Thread(
             target=lambda: (self.prefill_params, self.layers_list),
             daemon=True,
             name="gen-derive",
-        ).start()
+        )
+        self._derive_thread.start()
+        bg.register(self._derive_thread)
 
     @property
     def _block_layers_arg(self):
