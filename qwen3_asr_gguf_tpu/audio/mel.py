@@ -85,8 +85,19 @@ def _log_mel_jit(audio: jax.Array, filters: jax.Array, n_frames_out: int) -> jax
     pad = N_FFT // 2
     y = jnp.pad(audio, pad, mode="reflect")
     num_frames = 1 + (y.shape[0] - N_FFT) // HOP
-    idx = jnp.arange(num_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    frames = y[idx] * jnp.asarray(window)  # [F, n_fft]
+    # gather-free framing: frame f = y[f*HOP : f*HOP+N_FFT] is covered by 3
+    # consecutive HOP-rows (3*HOP=480 >= 400), so three SLICES of a
+    # [F+2, HOP] reshape replace a [F, 400] index gather (the gather was
+    # ~11 ms of the 40 s encode on v5e; the slices are free). The 80 extra
+    # lanes carry window=0 so they contribute exact zeros to the DFT dot.
+    span = 3 * HOP
+    y2 = jnp.pad(y, (0, (num_frames + 2) * HOP - y.shape[0]))
+    rows = y2.reshape(num_frames + 2, HOP)
+    f_span = jnp.concatenate([rows[:-2], rows[1:-1], rows[2:]], axis=1)  # [F, 480]
+    window = np.pad(window, (0, span - N_FFT))
+    frames = f_span * jnp.asarray(window)
+    dft_cos = np.pad(dft_cos, ((0, span - N_FFT), (0, 0)))
+    dft_sin = np.pad(dft_sin, ((0, span - N_FFT), (0, 0)))
 
     re = jnp.dot(frames, jnp.asarray(dft_cos), preferred_element_type=jnp.float32)
     im = jnp.dot(frames, jnp.asarray(dft_sin), preferred_element_type=jnp.float32)

@@ -62,17 +62,43 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _gqa_attention(q, k, v, mask, scale):
-    """q [T, Hq, d], k/v [S, Hkv, d], mask [T, S] bool -> [T, Hq, d]."""
+    """q [T, Hq, d], k/v [S, Hkv, d], mask [T, S] bool -> [T, Hq, d].
+
+    Long prefills chunk the QUERY axis (lax.map over blocks) so scores
+    stay [C, S] per block instead of materializing a [H, G, T, S] f32
+    tensor in HBM — at T=S=1536 that tensor is ~150 MB/layer and its
+    write+softmax+read was ~75% of the aligner's prefill time on v5e.
+    Per-row softmax is exact, so chunking changes no values."""
+    t, hq, d = q.shape
+    c = next((c for c in (512, 256, 128) if t % c == 0 and t > c), None)
+    if c is not None:
+        qc = q.reshape(t // c, c, hq, d)
+        mc = mask.reshape(t // c, c, mask.shape[-1])
+        out = jax.lax.map(lambda qm: _gqa_attention_block(qm[0], k, v, qm[1], scale),
+                          (qc, mc))
+        return out.reshape(t, hq, d)
+    return _gqa_attention_block(q, k, v, mask, scale)
+
+
+def _gqa_attention_block(q, k, v, mask, scale):
     t, hq, d = q.shape
     s, hkv, _ = k.shape
     g = hq // hkv
     qg = q.reshape(t, hkv, g, d).transpose(1, 2, 0, 3)  # [Hkv, G, T, d]
     kg = k.transpose(1, 0, 2)  # [Hkv, S, d]
     vg = v.transpose(1, 0, 2)
-    scores = jnp.einsum("hgtd,hsd->hgts", qg.astype(jnp.float32), kg.astype(jnp.float32)) * scale
+    # native-dtype dots with f32 accumulation (same convention as the
+    # decode attention): bf16 inputs ride the MXU's bf16 rate instead of
+    # the 4x-slower f32 emulation; f32 inputs are unchanged
+    scores = jnp.einsum(
+        "hgtd,hsd->hgts", qg, kg, preferred_element_type=jnp.float32
+    ) * scale
     scores = jnp.where(mask[None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hgts,hsd->hgtd", probs, vg.astype(jnp.float32))
+    out = jnp.einsum(
+        "hgts,hsd->hgtd", probs.astype(vg.dtype), vg,
+        preferred_element_type=jnp.float32,
+    )
     return out.transpose(2, 0, 1, 3).reshape(t, hq, d).astype(q.dtype)
 
 

@@ -117,16 +117,21 @@ def conv_frontend(params: Params, cfg: AudioEncoderConfig, mel: jax.Array) -> ja
     x = mel.reshape(n_mels, n_chunks, cfg.n_window).transpose(1, 0, 2)
     x = x[:, None, :, :]  # [N, 1, mels, win]
 
-    dn = jax.lax.conv_dimension_numbers(x.shape, params["conv1_w"].shape, ("NCHW", "OIHW", "NCHW"))
     for i in (1, 2, 3):
         w = params[f"conv{i}_w"]
         b = params[f"conv{i}_b"]
+        # HWIO [3, 3, I, O] weights (pre-transposed at load for TPU) keep
+        # the default {3,2,1,0} layout = output-feature minor, which is what
+        # the TPU conv kernel wants — OIHW args were costing a ~6 ms
+        # layout-change copy PER CONV PER CALL on v5e. OIHW still accepted
+        # (torch-parity tests, f32 path).
+        rhs = "HWIO" if w.shape[0] == 3 and w.shape[1] == 3 else "OIHW"
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", rhs, "NCHW"))
         x = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(2, 2), padding=((1, 1), (1, 1)),
             dimension_numbers=dn,
         )
         x = _gelu(x + b[None, :, None, None])
-        dn = jax.lax.conv_dimension_numbers(x.shape, params["conv2_w"].shape, ("NCHW", "OIHW", "NCHW"))
 
     n, c, f, tw = x.shape  # [N, C, mels/8, win/8]
     x = x.transpose(0, 3, 1, 2).reshape(n, tw, c * f)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 import time
+
+import jax
 import numpy as np
 
 from ..schema import AlignerConfig, ForcedAlignItem, ForcedAlignResult
@@ -58,6 +60,14 @@ class QwenForcedAligner:
         self.dec_cfg = dec_cfg
         self.tokenizer = tokenizer
         dec_params = P.fuse_layer_weights(dec_params)
+        if jax.default_backend() == "tpu":
+            # the aligner only ever PREFILLS (NAR sparse logits); quantized
+            # layer containers serve no decode matvec here, and the int8
+            # matmul's per-call activation quant runs the 0.6B prefill at
+            # ~12% of the MXU. One dense bf16 copy at init (~2 B/param,
+            # bring-up already runs on a background thread) makes the align
+            # prefill ride the same ~80%-MXU path as the ASR prefill.
+            dec_params = P.dequant_prefill_params(dec_params)
         self.runner = SparseLogitsRunner(dec_params, dec_cfg, n_ctx=config.n_ctx)
 
         self.ID_AUDIO_START = thinker.audio_start_token_id
@@ -66,6 +76,7 @@ class QwenForcedAligner:
         self.STEP_MS = thinker.timestamp_segment_ms or STEP_MS
         self._ko_scores: dict | None = None  # built lazily on first Korean align
         self._pre: tuple | None = None  # (key, embd, n_audio) pre-encoded window
+        self._word_tok: dict[str, list[int]] = {}  # word -> token ids memo
 
     def pre_encode(self, audio: np.ndarray, key) -> None:
         """Dispatch the encoder for an upcoming align window ahead of its
@@ -137,7 +148,14 @@ class QwenForcedAligner:
         prefix_len = len(pre_ids) + n_audio + len(post_ids)
         post_len = 0
         for word in words:
-            word_tokens = self.tokenizer.encode(word, allow_special=False)
+            # word -> token memo: CJK alignment tokenizes per CHARACTER, so
+            # a transcript's word set is tiny and heavily repeated — the BPE
+            # walk was ~10 ms of host time on the final chunk's critical tail
+            word_tokens = self._word_tok.get(word)
+            if word_tokens is None:
+                word_tokens = self.tokenizer.encode(word, allow_special=False)
+                if len(self._word_tok) < 50_000:
+                    self._word_tok[word] = word_tokens
             post_ids.extend(word_tokens)
             post_len += len(word_tokens)
             for _ in range(2):  # start & end slots

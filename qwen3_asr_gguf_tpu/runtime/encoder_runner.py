@@ -43,6 +43,14 @@ class EncoderRunner:
         # device once so jitted calls don't re-transfer per invocation.
         # f16 leaves (the half-precision ladder rung) upload at half the
         # bytes and convert to bf16 on device (TPU-native half type).
+        # Host-numpy conv weights are pre-transposed OIHW -> HWIO so the
+        # conv argument lands in its TPU-preferred layout (see
+        # encoder.conv_frontend); device-array params keep OIHW.
+        params = dict(params)
+        for name in ("conv1_w", "conv2_w", "conv3_w"):
+            w = params.get(name)
+            if isinstance(w, np.ndarray) and w.ndim == 4 and w.shape[-2:] == (3, 3):
+                params[name] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
         self.params = jax.device_put(params)
         if any(
             getattr(leaf, "dtype", None) == jnp.float16

@@ -665,7 +665,25 @@ class QwenASREngine:
         }
         t_main = time.time()
 
-        def chunk_audio(idx: int) -> np.ndarray:
+        # one up-front [num_chunks, chunk] upload: a transfer enqueued right
+        # before its consumer stalls the consumer on a cross-stream sync
+        # (~50-60 ms through the remote runtime, measured on the 40 s chunk);
+        # uploaded here it is long done when encode(i) dispatches
+        chunks_dev = None
+        if num_chunks:
+            padded = np.zeros((num_chunks, samples_per_chunk), np.float32)
+            flat = audio[: num_chunks * samples_per_chunk]
+            padded.reshape(-1)[: len(flat)] = flat
+            try:
+                import jax.numpy as jnp
+
+                chunks_dev = jnp.asarray(padded)
+            except Exception:
+                chunks_dev = None  # fall back to per-chunk host arrays
+
+        def chunk_audio(idx: int):
+            if chunks_dev is not None:
+                return chunks_dev[idx]
             s = idx * samples_per_chunk
             data = audio[s : s + samples_per_chunk]
             if len(data) < samples_per_chunk:
@@ -759,6 +777,27 @@ class QwenASREngine:
         def submit_align(idx: int) -> None:
             if align_pool is not None and 0 <= idx < num_chunks:
                 align_futs.append(align_pool.submit(run_align, idx))
+
+        if align_pool is not None and num_chunks:
+            # window 0 depends on no alignment items — pre-encode it NOW so
+            # align(0)'s encoder pass rides under chunk decode instead of
+            # queuing after it on the serial device stream (it would
+            # otherwise start only when align(0)'s text arrives). Runs on
+            # the align worker so a still-warming background aligner
+            # bring-up never blocks the transcription start.
+            def _pre0() -> None:
+                if self.aligner is not None:
+                    _, s0, e0 = align_window(0)
+                    if s0 == 0 and e0 == samples_per_chunk and chunks_dev is not None:
+                        # window 0 of a >chunk-size input is exactly chunk 0:
+                        # feed the already-device-resident row (a fresh host
+                        # upload mid-stream stalls its consumer ~60 ms on the
+                        # remote runtime)
+                        self.aligner.pre_encode(chunks_dev[0], key=(s0, e0))
+                    else:
+                        self.aligner.pre_encode(audio[s0:e0], key=(s0, e0))
+
+            align_futs.append(align_pool.submit(_pre0))
 
         # KV prefix reuse state: cache carrying [header | memory-audio] KV
         # from the previous chunk (exact for chunk 2, see test_prefix_reuse)

@@ -708,14 +708,21 @@ class SparseLogitsRunner:
         self._run_argmax = run_argmax
 
     def _pad_positions(self, positions: np.ndarray) -> np.ndarray:
-        n_pos = round_up(max(len(positions), 1), 64)
+        # coarse 256-slot buckets: align prompts vary with every sampled
+        # transcript, and each new (prompt, positions) shape pair is a fresh
+        # remote compile (2-8 s) landing mid-pipeline — coarse buckets
+        # collapse the variant space to a handful that warm up immediately
+        n_pos = round_up(max(len(positions), 1), 256)
         pos_padded = np.zeros(n_pos, dtype=np.int32)
         pos_padded[: len(positions)] = positions
         return pos_padded
 
+    def _prompt_pad(self, t: int) -> int:
+        return min(round_up(max(prompt_bucket(t), 1), 256), self.n_ctx)
+
     def logits_at(self, embd: np.ndarray, positions: np.ndarray) -> np.ndarray:
         t = embd.shape[0]
-        padded_len = prompt_bucket(t)
+        padded_len = self._prompt_pad(t)
         pad = padded_len - t
         if pad:
             embd = np.concatenate([embd, np.zeros((pad, embd.shape[1]), embd.dtype)], axis=0)
@@ -736,7 +743,7 @@ class SparseLogitsRunner:
         logits per position, aligner.py:317-323 — on TPU that transfer is
         the bottleneck, the argmax is free)."""
         t = len(ids)
-        padded_len = prompt_bucket(t)
+        padded_len = self._prompt_pad(t)
         ids_p = np.zeros(padded_len, dtype=np.int32)
         ids_p[:t] = ids
         mask_p = np.zeros(padded_len, dtype=bool)

@@ -208,3 +208,55 @@ def test_convert_hf_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(eparams2["conv_out"]), state[ap + "conv_out.weight"], atol=1e-7
     )
+
+
+def test_dequant_prefill_int8_branch():
+    """Int8Weight layers dequantize to dense bf16 (the aligner's prefill
+    path on TPU; the int8 matmul's per-call activation quant ran the 0.6B
+    prefill at ~12% of the MXU)."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_gguf_tpu.ops.qtensor import Int8Weight
+
+    q = np.random.default_rng(0).integers(-127, 128, (4, 8, 16)).astype(np.int8)
+    s = (np.abs(np.random.default_rng(1).standard_normal((4, 8))) + 0.01).astype(np.float32)
+    p = {"layers": {"w": Int8Weight(q=jnp.asarray(q), scale=jnp.asarray(s)),
+                    "norm": jnp.ones((4, 16))}}
+    d = P.dequant_prefill_params(p)
+    ref = q.astype(np.float32) * s[..., None]
+    got = np.asarray(d["layers"]["w"], dtype=np.float32)
+    assert d["layers"]["w"].dtype == jnp.bfloat16
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.005  # bf16 rounding
+    np.testing.assert_array_equal(np.asarray(d["layers"]["norm"]), np.ones((4, 16)))
+
+
+def test_ram_mirror_roundtrip(tmp_path, monkeypatch):
+    """Sidecar RAM mirror: fresh files copy once, stale mirror entries
+    refresh, removed sources drop from the mirror."""
+    from qwen3_asr_gguf_tpu.models.params import _ram_mirror
+
+    src = tmp_path / "side.int4"
+    src.mkdir()
+    np.save(src / "a__x.npy", np.arange(4))
+    np.save(src / "b__y.npy", np.ones(3))
+    mroot = tmp_path / "ram"
+    monkeypatch.setenv("QWEN3_ASR_RAM_CACHE", str(mroot))
+    m1 = _ram_mirror(src)
+    assert m1 != src and (m1 / "a__x.npy").exists()
+    np.testing.assert_array_equal(np.load(m1 / "a__x.npy"), np.arange(4))
+    # update a source file -> mirror refreshes
+    import os
+    import time
+
+    time.sleep(0.01)
+    np.save(src / "a__x.npy", np.arange(5))
+    os.utime(src / "a__x.npy")
+    m2 = _ram_mirror(src)
+    np.testing.assert_array_equal(np.load(m2 / "a__x.npy"), np.arange(5))
+    # remove a source file -> mirror entry drops
+    (src / "b__y.npy").unlink()
+    m3 = _ram_mirror(src)
+    assert not (m3 / "b__y.npy").exists()
+    # disabled -> identity
+    monkeypatch.setenv("QWEN3_ASR_RAM_CACHE", "0")
+    assert _ram_mirror(src) == src
