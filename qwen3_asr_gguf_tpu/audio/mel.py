@@ -110,6 +110,51 @@ def _log_mel_jit(audio: jax.Array, filters: jax.Array, n_frames_out: int) -> jax
     return ((log_spec + 4.0) / 4.0).T  # [n_mels, F]
 
 
+@partial(jax.jit, static_argnames=("n_frames_bucket",))
+def _log_mel_padded_jit(
+    y: jax.Array,  # [n_frames_bucket*HOP + 3*HOP] reflect-padded signal,
+    #                zero-extended to the bucket (host does the reflect pad
+    #                so boundary frames read REAL samples — exact twin of
+    #                log_mel_np on the valid prefix)
+    filters: jax.Array,
+    valid_frames: jax.Array,  # int32 scalar <= n_frames_bucket
+    n_frames_bucket: int,
+) -> jax.Array:
+    """Variable-length (bucketed) device mel: [128, n_frames_bucket] with
+    frames >= valid_frames zeroed (the reference zero-pads mel to the conv
+    grid, encoder.py:164-168). The dynamic-range clamp maxes over VALID
+    frames only, exactly like the host path on the sliced audio."""
+    window, dft_cos, dft_sin = _dft_constants(N_FFT)
+    span = 3 * HOP
+    rows = y.reshape(n_frames_bucket + 3, HOP)
+    f_span = jnp.concatenate([rows[:-3], rows[1:-2], rows[2:-1]], axis=1)
+    window = np.pad(window, (0, span - N_FFT))
+    frames = f_span * jnp.asarray(window)
+    dft_cos = np.pad(dft_cos, ((0, span - N_FFT), (0, 0)))
+    dft_sin = np.pad(dft_sin, ((0, span - N_FFT), (0, 0)))
+    re = jnp.dot(frames, jnp.asarray(dft_cos), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(dft_sin), preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.dot(power, filters, preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    valid = jnp.arange(n_frames_bucket, dtype=jnp.int32)[:, None] < valid_frames
+    vmax = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
+    log_spec = jnp.maximum(log_spec, vmax - 8.0)
+    out = jnp.where(valid, (log_spec + 4.0) / 4.0, 0.0)
+    return out.T  # [n_mels, n_frames_bucket]
+
+
+def pad_signal_for_bucket(audio: np.ndarray, n_frames_bucket: int) -> np.ndarray:
+    """Host half of the variable-length device mel: reflect-pad the exact
+    slice (reference center padding) and zero-extend to the bucket's
+    framing span."""
+    pad = N_FFT // 2
+    y = np.pad(audio.astype(np.float32), pad, mode="reflect")
+    out = np.zeros((n_frames_bucket + 3) * HOP, np.float32)
+    out[: len(y)] = y[: len(out)]
+    return out
+
+
 def log_mel_np(audio: np.ndarray, filters: np.ndarray) -> np.ndarray:
     """Host (NumPy) twin of the jitted pipeline — bit-compatible semantics.
 

@@ -80,8 +80,25 @@ class EncoderRunner:
             hidden = enc.conv_frontend(params, cfg, mel)
             return enc.backend_transformer(params, cfg, hidden, valid_tokens=valid_tokens)
 
+        from functools import partial as _partial
+
+        from ..audio.mel import _log_mel_padded_jit
+
+        @_partial(jax.jit, static_argnames=("n_frames_bucket",))
+        def _encode_varlen(params, y, valid_frames, valid_tokens, n_frames_bucket: int):
+            """Variable-length path fully on device: mel (exact host-twin on
+            the reflect-padded signal) + conv + backend in ONE program — the
+            host mel was ~21 ms of single-core numpy on the align tail, plus
+            a mel upload whose cross-stream sync stalls the consumer."""
+            mel = _log_mel_padded_jit(
+                y, self.frontend._filters_dev, valid_frames, n_frames_bucket
+            )
+            hidden = enc.conv_frontend(params, cfg, mel)
+            return enc.backend_transformer(params, cfg, hidden, valid_tokens=valid_tokens)
+
         self._encode_audio = _encode_audio
         self._encode_mel = _encode_mel
+        self._encode_varlen = _encode_varlen
 
         if warmup_sec > 0:
             noise = np.random.default_rng(0).standard_normal(
@@ -104,11 +121,21 @@ class EncoderRunner:
         if n % SAMPLE_RATE == 0 and frames % self.cfg.n_window == 0:
             return self._encode_audio(self.params, jnp.asarray(audio, dtype=jnp.float32))
 
-        # variable-length path: exact host mel, bucket-padded device encoder
-        mel = log_mel_np(audio, self.frontend.filters)  # [128, frames]
+        # variable-length path: device mel (exact twin of the host path on
+        # the reflect-padded slice) + bucket-padded device encoder, one
+        # program. Device arrays fall back to host via a single download
+        # (rare: align windows are host slices in production).
+        from ..audio.mel import pad_signal_for_bucket
+
         bucket = self.mel_bucket(frames)
-        mel_padded = np.pad(mel, ((0, 0), (0, bucket - frames)))
         valid = enc.get_feat_extract_output_lengths(frames, self.cfg.n_window)
+        if isinstance(audio, np.ndarray):
+            y = pad_signal_for_bucket(audio, bucket)
+            return self._encode_varlen(
+                self.params, jnp.asarray(y), jnp.int32(frames), jnp.int32(valid), bucket
+            )
+        mel = log_mel_np(np.asarray(audio), self.frontend.filters)  # [128, frames]
+        mel_padded = np.pad(mel, ((0, 0), (0, bucket - frames)))
         return self._encode_mel(self.params, jnp.asarray(mel_padded), jnp.int32(valid))
 
     def mel_bucket(self, frames: int) -> int:

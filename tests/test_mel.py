@@ -52,3 +52,31 @@ def test_dynamic_range_normalization(rng):
     out = LogMelFrontend()(audio)
     # after clamp to max-8 and (x+4)/4 normalize, range spans at most 2.0
     assert out.max() - out.min() <= 2.0 + 1e-5
+
+
+def test_varlen_device_mel_matches_host():
+    """The bucketed device mel (aligner windows) is an exact twin of the
+    host path on the valid prefix, with padded frames exactly zero."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_gguf_tpu.audio.mel import (
+        _log_mel_padded_jit,
+        log_mel_np,
+        mel_filterbank,
+        pad_signal_for_bucket,
+    )
+
+    f = mel_filterbank()
+    rng = np.random.default_rng(0)
+    for n in (16_000, 80_240, 160 * 501 + 80):
+        a = rng.standard_normal(n).astype(np.float32)
+        frames = n // 160
+        bucket = -(-frames // 500) * 500
+        y = pad_signal_for_bucket(a, bucket)
+        dev = np.asarray(
+            _log_mel_padded_jit(jnp.asarray(y), jnp.asarray(f), jnp.int32(frames), bucket)
+        )
+        host = log_mel_np(a, f)
+        np.testing.assert_allclose(dev[:, :frames], host, atol=5e-5)
+        if frames < bucket:
+            assert np.abs(dev[:, frames:]).max() == 0.0
