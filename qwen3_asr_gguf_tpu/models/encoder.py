@@ -152,7 +152,9 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array, key_mask=None) ->
     q = (matmul(x, layer["q_w"]) + layer["q_b"]).reshape(b, t, h, hd)
     k = (matmul(x, layer["k_w"]) + layer["k_b"]).reshape(b, t, h, hd)
     v = (matmul(x, layer["v_w"]) + layer["v_b"]).reshape(b, t, h, hd)
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
+    # native-dtype dots with f32 accumulation (decoder convention): bf16
+    # activations ride the MXU bf16 rate; f32 inputs are unchanged
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
     scores = scores * (hd ** -0.5)
     if key_mask is not None:
         if key_mask.ndim == 1:  # same keys for every row
@@ -160,7 +162,10 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array, key_mask=None) ->
         else:  # [B, T] per-row keys (windowed tail padding)
             scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
+    out = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     out = out.reshape(b, t, d)
     return matmul(out, layer["o_w"]) + layer["o_b"]
 
@@ -195,12 +200,15 @@ def backend_transformer(
             key_mask = jnp.arange(t, dtype=jnp.int32) < valid_tokens
 
     def layer_fn(h, layer):
-        h = h + _mha(layer, cfg, _layer_norm(h, layer["ln1_w"], layer["ln1_b"]), key_mask)
+        # f32 biases promote the residual stream; cast back so a bf16
+        # compute dtype survives the scan carry
+        attn = _mha(layer, cfg, _layer_norm(h, layer["ln1_w"], layer["ln1_b"]), key_mask)
+        h = h + attn.astype(h.dtype)
         y = _layer_norm(h, layer["ln2_w"], layer["ln2_b"])
         y = matmul(y, layer["fc1_w"]) + layer["fc1_b"]
         y = _gelu(y)
         y = matmul(y, layer["fc2_w"]) + layer["fc2_b"]
-        return h + y, None
+        return h + y.astype(h.dtype), None
 
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
     x = x.reshape(-1, hidden.shape[1])

@@ -68,17 +68,36 @@ class EncoderRunner:
             cfg.n_window, bucket_frames // cfg.n_window * cfg.n_window
         )
 
+        # quantized encoders run the backend in bf16 on TPU: the transformer
+        # activations were f32 (mel dtype), paying the MXU's 4x-slower f32
+        # emulation on every attention/residual op. Norms/GELU still compute
+        # f32 internally; weights keep their own precision. f32 masters (and
+        # every CPU/test path) stay f32.
+        from ..ops.qtensor import Int8Weight, Q4Weight
+
+        quantized = isinstance(params.get("proj1_w"), (Int8Weight, Q4Weight))
+        compute_dtype = (
+            jnp.bfloat16
+            if quantized and jax.default_backend() == "tpu"
+            else None
+        )
+
+        def _backend_in(hidden):
+            return hidden.astype(compute_dtype) if compute_dtype is not None else hidden
+
         @jax.jit
         def _encode_audio(params, audio):
             """Fused mel+encoder for hop-aligned, n_window-aligned audio."""
             mel = self.frontend.device_call(audio)
             hidden = enc.conv_frontend(params, cfg, mel)
-            return enc.backend_transformer(params, cfg, hidden)
+            return enc.backend_transformer(params, cfg, _backend_in(hidden))
 
         @jax.jit
         def _encode_mel(params, mel, valid_tokens):
             hidden = enc.conv_frontend(params, cfg, mel)
-            return enc.backend_transformer(params, cfg, hidden, valid_tokens=valid_tokens)
+            return enc.backend_transformer(
+                params, cfg, _backend_in(hidden), valid_tokens=valid_tokens
+            )
 
         from functools import partial as _partial
 
@@ -94,7 +113,9 @@ class EncoderRunner:
                 y, self.frontend._filters_dev, valid_frames, n_frames_bucket
             )
             hidden = enc.conv_frontend(params, cfg, mel)
-            return enc.backend_transformer(params, cfg, hidden, valid_tokens=valid_tokens)
+            return enc.backend_transformer(
+                params, cfg, _backend_in(hidden), valid_tokens=valid_tokens
+            )
 
         self._encode_audio = _encode_audio
         self._encode_mel = _encode_mel

@@ -52,9 +52,9 @@ def prompt_bucket(t: int) -> int:
     ones, so an unbounded streaming session compiles O(log T) prefill
     shapes instead of one per 128 tokens (padded rows are masked, so the
     only cost is <=1 bucket step of wasted prefill compute)."""
-    if t <= 768:
+    if t <= 1024:
         return round_up(max(t, 1), 128)
-    if t <= 1536:
+    if t <= 2048:
         return round_up(t, 256)
     return round_up(t, 512)
 
