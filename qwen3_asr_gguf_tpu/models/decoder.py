@@ -179,7 +179,14 @@ def _dequant_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, sin):
+def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, sin,
+               pre_norm: tuple | None = None):
+    """pre_norm=(weight, eps): x_normed is the RAW residual stream and the
+    rms_norm fuses into the qkv matvec kernel where supported (decode
+    step); the fallback applies the norm first — bit-identical."""
+    if pre_norm is not None and "qkv_proj" not in layer:
+        x_normed = rms_norm(x_normed, pre_norm[0], pre_norm[1])
+        pre_norm = None
     t = x_normed.shape[0]
     hd = cfg.head_dim
     nq = cfg.num_heads * hd
@@ -187,7 +194,12 @@ def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, 
     if "qkv_proj" in layer:
         # fused column-concat [Wq; Wk; Wv]: one weight stream per layer
         # instead of three (decode is HBM/launch bound)
-        qkv = matmul(x_normed, layer["qkv_proj"])
+        if pre_norm is not None:
+            from ..ops.qtensor import matmul_normed
+
+            qkv = matmul_normed(x_normed, layer["qkv_proj"], pre_norm[0], pre_norm[1])
+        else:
+            qkv = matmul(x_normed, layer["qkv_proj"])
         q = qkv[:, :nq].reshape(t, cfg.num_heads, hd)
         k = qkv[:, nq : nq + nkv].reshape(t, cfg.num_kv_heads, hd)
         v = qkv[:, nq + nkv :].reshape(t, cfg.num_kv_heads, hd)
@@ -202,7 +214,11 @@ def _layer_qkv(layer: Params, cfg: TextDecoderConfig, x_normed: jax.Array, cos, 
     return q, k, v
 
 
-def _mlp(layer: Params, x_normed: jax.Array, *, fused_kernel: bool = False) -> jax.Array:
+def _mlp(layer: Params, x_normed: jax.Array, *, fused_kernel: bool = False,
+         pre_norm: tuple | None = None) -> jax.Array:
+    if pre_norm is not None and ("gateup_proj" not in layer or fused_kernel):
+        x_normed = rms_norm(x_normed, pre_norm[0], pre_norm[1])
+        pre_norm = None
     if fused_kernel and _can_fuse_mlp(layer, x_normed):
         # one Pallas kernel streams Wg/Wu/Wd from HBM exactly once
         # (decode matvec is HBM-bound; three XLA matmuls leave scheduling
@@ -217,7 +233,12 @@ def _mlp(layer: Params, x_normed: jax.Array, *, fused_kernel: bool = False) -> j
         )
     if "gateup_proj" in layer:
         m = layer["gateup_proj"].shape[0] // 2  # [2M, D] (dense or packed)
-        gu = matmul(x_normed, layer["gateup_proj"])
+        if pre_norm is not None:
+            from ..ops.qtensor import matmul_normed
+
+            gu = matmul_normed(x_normed, layer["gateup_proj"], pre_norm[0], pre_norm[1])
+        else:
+            gu = matmul(x_normed, layer["gateup_proj"])
         gate, up = gu[:, :m], gu[:, m:]
     else:
         gate = matmul(x_normed, layer["gate_proj"])
@@ -510,8 +531,10 @@ def forward_step_layers(
         out["k_s"] = []
         out["v_s"] = []
     for l, layer in enumerate(layer_list):
-        attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)
+        # norms ride the fused qkv/gate_up matvec kernels where supported
+        # (see _kernel_normed); elsewhere pre_norm falls back bit-identically
+        q, k, v = _layer_qkv(layer, cfg, h, cos, sin,
+                             pre_norm=(layer["attn_norm"], cfg.rms_norm_eps))
         if int8_kv:
             kq, ksc = _quant_kv(k)
             vq, vsc = _quant_kv(v)
@@ -531,8 +554,8 @@ def forward_step_layers(
         k_win, v_win = _read_cache_window(layer_cache, 0, win, k.dtype)
         attn = _gqa_attention(q, k_win, v_win, valid, scale)
         h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
-        mlp_in = rms_norm(h, layer["mlp_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(layer, mlp_in, fused_kernel=fused_mlp)
+        h = h + _mlp(layer, h, fused_kernel=fused_mlp,
+                     pre_norm=(layer["mlp_norm"], cfg.rms_norm_eps))
     cache = out
     h = rms_norm(h, final_norm, cfg.rms_norm_eps)
     return h[0], cache

@@ -210,6 +210,52 @@ def _expand_group_scales(sub_ref, min_ref, dd_ref):
     return scale, 8.0 * scale - minv
 
 
+def _kernel_normed(eps, norm_ref, x_ref, w_ref, sub_ref, min_ref, dd_ref,
+                   o_ref, xq_s, sx_s, xsum_s):
+    """`_kernel` with the preceding rms_norm FUSED at the activation-quant
+    stage (valid only when K == SUBK, i.e. one K step sees the full row —
+    true for the 2048-wide qkv/gate_up inputs at 1.7B). Each of the step's
+    two XLA norm fusions costs ~1.5-3 us of launch-bound VPU chain per
+    layer (~0.1-0.17 ms/tok across 28 layers); here the norm rides the
+    quantization pass that already reads x. The bf16 round-trip after the
+    norm keeps BIT-parity with the unfused rms_norm(x).astype(bf16) ->
+    matvec path."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        x = x_ref[:]  # [1, SUBK] f32 — the FULL activation row
+        var = jnp.mean(x * x, axis=1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + eps) * norm_ref[:]
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        sub, subk = xq_s.shape
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 1) // GROUP
+        row = jax.lax.broadcasted_iota(jnp.int32, (sub, subk), 0)
+        xm = jnp.where(lane_group == row, jnp.broadcast_to(x, (sub, subk)), 0.0)
+        amax = jnp.max(jnp.abs(xm), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-10) * (1.0 / 127.0)
+        xq_s[:] = jnp.clip(
+            jnp.round(xm * pl.reciprocal(sx, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        sx_s[:] = sx
+        xsum_s[:] = jnp.sum(xm, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4)
+    acc = jax.lax.dot_general(
+        xq_s[:], w4.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale, offs = _expand_group_scales(sub_ref, min_ref, dd_ref)
+    contrib = acc.astype(jnp.float32) * scale * sx_s[:] + xsum_s[:] * offs
+    o_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
+
+
 def _kernel(x_ref, w_ref, sub_ref, min_ref, dd_ref, o_ref, xq_s, sx_s, xsum_s):
     """One (SUBK-lane, BN-channel) step: quantize the activation slice to
     int8 PER 32-GROUP in-kernel (llama.cpp's q8_1 semantics — one outlier
@@ -535,6 +581,61 @@ def self_check() -> None:
         except Exception:
             pass
     _SELF_CHECK_DONE = True
+
+
+@functools.partial(jax.jit, static_argnames=("subk", "bn", "eps"))
+def _matvec_call_normed(norm_w, xf, packed, sub_t, min_t, dd_t, subk: int,
+                        bn: int = BN, eps: float = 1e-6):
+    n2, k = packed.shape
+    n = n2 * 2
+    sub = subk // GROUP
+    sdd = 2 * (subk // 256)
+    grid = (k // subk, n // bn)
+    return pl.pallas_call(
+        functools.partial(_kernel_normed, eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, subk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, subk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 2, subk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sdd, bn), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bn), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((sub, subk), jnp.int8),
+            pltpu.VMEM((sub, 1), jnp.float32),
+            pltpu.VMEM((sub, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sub * n * k,
+            bytes_accessed=n2 * k + 2 * (k // GROUP) * n + 8 * (k // 256) * n + 8 * k,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(norm_w, xf, packed, sub_t, min_t, dd_t)
+
+
+def supported_normed(x_shape: tuple[int, ...], w: Q4KMXUWeight) -> bool:
+    """Norm fusion needs the whole row in ONE K step (rms over SUBK lanes)."""
+    n, k = w.shape
+    return supported(x_shape, w) and pick_subk(k) == k
+
+
+def q4k_matvec_normed(
+    x: jax.Array, w: Q4KMXUWeight, norm_w: jax.Array, eps: float
+) -> jax.Array:
+    """rms_norm(x, norm_w) @ dequant(w).T in one kernel (see _kernel_normed).
+    Bit-equal to `q4k_matvec(rms_norm(x, norm_w, eps), w)` for bf16 x."""
+    n, k = w.shape
+    xf = x.reshape(1, k).astype(jnp.float32)
+    nf = norm_w.reshape(1, k).astype(jnp.float32)
+    out = _matvec_call_normed(
+        nf, xf, w.packed, w.sub_t, w.min_t, w.dd_t, k, pick_bn(n), float(eps)
+    )
+    return out[0:1, :].reshape(*x.shape[:-1], n).astype(x.dtype)
 
 
 def q4k_matvec(x: jax.Array, w: Q4KMXUWeight) -> jax.Array:

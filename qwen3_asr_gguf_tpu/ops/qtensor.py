@@ -113,6 +113,18 @@ def to_int8(w) -> Int8Weight:
     return Int8Weight(q=q, scale=scale)
 
 
+def matmul_normed(x: jax.Array, w, norm_w: jax.Array, eps: float) -> jax.Array:
+    """rms_norm(x, norm_w, eps) @ w.T, fusing the norm into the q4_k matvec
+    kernel when it applies (single row, full-row K step). The fallback is
+    bit-identical: norm as XLA, then the normal matmul dispatch."""
+    from ..models.decoder import rms_norm
+    from .pallas_q4k import Q4KMXUWeight, q4k_matvec_normed, supported_normed
+
+    if isinstance(w, Q4KMXUWeight) and supported_normed(x.shape, w):
+        return q4k_matvec_normed(x, w, norm_w, eps)
+    return matmul(rms_norm(x, norm_w, eps), w)
+
+
 def matmul(x: jax.Array, w, *, use_pallas: bool | None = None) -> jax.Array:
     """x [..., K] @ w.T -> [..., N]; w is Q4KMXUWeight, Int8Weight, Q4Weight
     or dense [N, K]."""

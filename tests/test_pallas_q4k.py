@@ -205,3 +205,28 @@ def test_matmul_rows_dispatch_via_matmul():
     y = np.asarray(qmatmul(jnp.asarray(x), w))
     ref = x @ dense.T
     np.testing.assert_allclose(y, ref, atol=np.abs(ref).max() * 0.02)
+
+
+def test_matvec_normed_bit_parity():
+    """The norm-fused matvec equals rms_norm -> q4k_matvec exactly (the
+    kernel replays the bf16 round-trip the unfused path takes)."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_gguf_tpu.formats.quants import pack_q4_direct
+    from qwen3_asr_gguf_tpu.models.decoder import rms_norm
+    from qwen3_asr_gguf_tpu.ops.pallas_q4k import (
+        from_packed_q4,
+        q4k_matvec,
+        q4k_matvec_normed,
+        supported_normed,
+    )
+
+    rng = np.random.default_rng(0)
+    k, n = 2048, 512
+    w = from_packed_q4(pack_q4_direct(rng.standard_normal((n, k)).astype(np.float32)))
+    x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32)).astype(jnp.bfloat16)
+    nw = jnp.asarray(np.abs(rng.standard_normal(k)).astype(np.float32))
+    assert supported_normed(x.shape, w)
+    a = np.asarray(q4k_matvec(rms_norm(x, nw, 1e-6), w), np.float32)
+    b = np.asarray(q4k_matvec_normed(x, w, nw, 1e-6), np.float32)
+    np.testing.assert_array_equal(a, b)
