@@ -545,7 +545,10 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
 
     def _embed_worker():
         try:
+            _t = _time.time()
             _embed_box["embed"] = _embed_device(flat, dense_dtype)
+            _logger.info("int4 load: embed dispatched in %.2fs (thread)",
+                         _time.time() - _t)
         except Exception as e:  # surfaced at join
             _embed_box["error"] = e
 

@@ -204,6 +204,16 @@ class QwenASREngine:
 
             def _bring_up():
                 try:
+                    # wait for the ASR decoder's async uploads first: the
+                    # aligner's ~1 GB of uploads otherwise contend for the
+                    # ~1 GB/s device link and stretch the main init by
+                    # seconds; the aligner has until first use (plus the
+                    # engine's own warmup) to finish
+                    try:
+                        head = self.generator.params.get("lm_head")
+                        jax.block_until_ready(getattr(head, "packed", head))
+                    except Exception:
+                        pass
                     from .aligner import QwenForcedAligner
 
                     self._aligner = QwenForcedAligner(config.align_config)

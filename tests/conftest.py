@@ -11,6 +11,9 @@ import os
 # Tests must run on the virtual-device CPU mesh; set QWEN3_ASR_TPU_TESTS=1
 # to run on real hardware.
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # bit-stable torch oracles
+# tests build throwaway checkpoints in tmp dirs — don't leak their sidecar
+# RAM mirrors into /dev/shm (params._ram_mirror)
+os.environ.setdefault("QWEN3_ASR_RAM_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
