@@ -507,6 +507,7 @@ def forward_step_layers(
     *,
     attn_window: int | None = None,
     fused_mlp: bool = False,
+    pallas_attn: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Unrolled decode step (same math as forward_step; see unstack_layers).
 
@@ -523,6 +524,11 @@ def forward_step_layers(
     # ever materialized (the concat cost ~2 x 4 MB per layer per token)
     valid = (jnp.arange(win, dtype=jnp.int32) <= pos)[None, :]
     dt = cache["k"][0].dtype
+    use_pallas_attn = pallas_attn and dt != jnp.int8
+    if use_pallas_attn:
+        from ..ops.pallas_attn import supported as _attn_ok
+
+        use_pallas_attn = _attn_ok((1, cfg.num_heads, cfg.head_dim), win)
     int8_kv = dt == jnp.int8
 
     h = embd[None, :]
@@ -551,8 +557,13 @@ def forward_step_layers(
             layer_cache = {"k": [k_c], "v": [v_c]}
         out["k"].append(k_c)
         out["v"].append(v_c)
-        k_win, v_win = _read_cache_window(layer_cache, 0, win, k.dtype)
-        attn = _gqa_attention(q, k_win, v_win, valid, scale)
+        if use_pallas_attn:
+            from ..ops.pallas_attn import gqa_decode_attention
+
+            attn = gqa_decode_attention(q, k_c, v_c, pos, scale, win)
+        else:
+            k_win, v_win = _read_cache_window(layer_cache, 0, win, k.dtype)
+            attn = _gqa_attention(q, k_win, v_win, valid, scale)
         h = h + matmul(attn.reshape(1, -1), layer["o_proj"])
         h = h + _mlp(layer, h, fused_kernel=fused_mlp,
                      pre_norm=(layer["mlp_norm"], cfg.rms_norm_eps))

@@ -268,6 +268,13 @@ class QwenASREngine:
         with no forced language the suffix stops at "assistant\\n" — no
         forced `<asr_text>` — so the model emits the
         ``language X<asr_text>body`` protocol for the caller to parse."""
+        # the (context, language) halves repeat for every chunk of every
+        # call — memoize the BPE walks (~2-3 ms each on this 1-core host,
+        # called ~4x per transcription on the critical dispatch path)
+        key = (prefix_text, context, language, detect_language)
+        cached = getattr(self, "_prompt_parts_memo", {}).get(key)
+        if cached is not None:
+            return [*cached[0]], [*cached[1]]
         tk = self.model.tokenize
         prefix_str = f"system\n{context or 'You are a helpful assistant.'}"
         prefix_tokens = (
@@ -284,6 +291,11 @@ class QwenASREngine:
         if language or not detect_language:
             suffix_tokens += [self.ID_ASR_TEXT]
         suffix_tokens += tk(prefix_text)
+        memo = getattr(self, "_prompt_parts_memo", None)
+        if memo is None:
+            memo = self._prompt_parts_memo = {}
+        if len(memo) < 512:
+            memo[key] = (list(prefix_tokens), list(suffix_tokens))
         return prefix_tokens, suffix_tokens
 
     def _build_prompt_ids(

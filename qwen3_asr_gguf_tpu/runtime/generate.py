@@ -132,6 +132,13 @@ class Generator:
         # instead of ~450 per dispatch. Arg marshaling turned out NOT to be
         # the residual per-block overhead.
         self._stacked_args = _os.environ.get("QWEN3_STACKED_ARGS", "0") != "0"
+        # flash-style GQA decode-attention pallas kernel (ops/pallas_attn):
+        # streams the KV window once at bandwidth and keeps score/softmax/PV
+        # in VMEM. A/B knob while hardware numbers accumulate.
+        self.pallas_attn = (
+            jax.default_backend() == "tpu"
+            and _os.environ.get("QWEN3_PALLAS_ATTN", "0") != "0"
+        )
         self._prefill_jit = self._build_prefill()
         self._spliced_prefill_jit = self._build_spliced_prefill()
         self._spliced_prefill_at_jit = self._build_spliced_prefill_at()
@@ -289,6 +296,7 @@ class Generator:
         eos = self.eos_ids
         block = self.block
         fused_mlp = self.fused_mlp
+        pallas_attn = self.pallas_attn
         stacked_args = self._stacked_args and not self.fused_mlp
 
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
@@ -315,6 +323,7 @@ class Generator:
                 hidden, cache = dec.forward_step_layers(
                     layers_list, params["final_norm"], cfg, embd, cache, pos,
                     attn_window=attn_window, fused_mlp=fused_mlp,
+                    pallas_attn=pallas_attn,
                 )
                 logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:
