@@ -60,6 +60,36 @@ def main() -> None:
     # seed the repo cache from the legacy home cache once, so relocating the
     # cache does not force a cold recompile of every program
     repo_cache = Path(os.environ["QWEN3_ASR_TPU_COMPILE_CACHE"])
+    # run the cache from tmpfs: this VM's page cache is capped (~1 GB) and
+    # its disk reads at 15-60 MB/s, so warmup re-reads ~240 MB of cached
+    # executables from disk every round. Mirror repo->tmpfs at start and
+    # copy new entries back at exit (the repo copy is what survives rounds).
+    shm = Path("/dev/shm")
+    if repo_cache.is_dir() and shm.is_dir() and os.access(shm, os.W_OK):
+        import atexit
+        import shutil
+
+        ram_cache = shm / "qwen3_asr_cache" / "xla"
+        try:
+            ram_cache.mkdir(parents=True, exist_ok=True)
+            have = {p.name for p in ram_cache.iterdir()}
+            for f in repo_cache.iterdir():
+                if f.is_file() and f.name not in have:
+                    shutil.copy2(f, ram_cache / f.name)
+
+            def _sync_back():
+                keep = {p.name for p in repo_cache.iterdir()}
+                for f in ram_cache.iterdir():
+                    if f.is_file() and f.name not in keep:
+                        try:
+                            shutil.copy2(f, repo_cache / f.name)
+                        except OSError:
+                            pass
+
+            atexit.register(_sync_back)
+            os.environ["QWEN3_ASR_TPU_COMPILE_CACHE"] = str(ram_cache)
+        except OSError:
+            pass
     home_cache = Path.home() / ".cache" / "qwen3_asr_tpu_xla"
     if home_cache.is_dir():
         repo_cache.mkdir(parents=True, exist_ok=True)
