@@ -77,6 +77,151 @@ class QwenForcedAligner:
         self._ko_scores: dict | None = None  # built lazily on first Korean align
         self._pre: tuple | None = None  # (key, embd, n_audio) pre-encoded window
         self._word_tok: dict[str, list[int]] = {}  # word -> token ids memo
+        # speculative-align state: word-class table (host + device) and the
+        # in-flight dispatched holder (see spec_align_start/spec_align_collect)
+        self._word_cls: np.ndarray | None = None
+        self._word_cls_dev = None
+        self._spec: dict | None = None
+        self._word_cls_path = os.path.join(
+            model_dir, f"align_word_cls_v1_{self.tokenizer.n_vocab}.npy"
+        )
+        if os.path.exists(self._word_cls_path):
+            try:
+                tab = np.load(self._word_cls_path)
+                if tab.shape == (self.tokenizer.n_vocab,):
+                    self._word_cls = tab.astype(np.int8)
+            except (OSError, ValueError):
+                pass
+
+    def build_word_cls_table(self) -> np.ndarray:
+        """Per-vocab-token word class for the speculative align prompt:
+
+          2  the token decodes to exactly ONE CJK character c and
+             encode(c) round-trips to [token] — `align()` would emit the
+             identical `c TS TS` triplet for it (tokenize_general splits
+             CJK per character, align_text.py:46-64);
+          1  droppable: tokenize_general(decode(token)) == [] (pure
+             punctuation / whitespace — contributes no word);
+          0  anything else (multi-char, non-CJK letters/digits, split
+             multibyte, non-canonical encodings): host path required.
+
+        The table is what makes the device-assembled prompt EXACT, not
+        approximate: a token stream that is all class-1/2 concatenates to a
+        text whose kept characters are precisely the class-2 characters,
+        each its own word. Cached as a sidecar (~150 KB) in the model dir."""
+        n = self.tokenizer.n_vocab
+        tab = np.zeros(n, dtype=np.int8)
+        for tid in range(n):
+            try:
+                s = self.tokenizer.token_to_bytes(tid).decode("utf-8")
+            except (UnicodeDecodeError, KeyError):
+                continue
+            words = align_text.tokenize_general(s)
+            if not words:
+                tab[tid] = 1
+            elif (
+                len(s) == 1
+                and align_text.is_cjk_char(s)
+                and self.tokenizer.encode(s, allow_special=False) == [tid]
+            ):
+                tab[tid] = 2
+        self._word_cls = tab
+        try:
+            np.save(self._word_cls_path, tab)
+        except OSError:
+            pass
+        return tab
+
+    def spec_align_start(self, toks_dev, key, language: str) -> None:
+        """Dispatch the speculative align prefill for a decode block still
+        in flight: `toks_dev` is the block's device-resident emitted-token
+        buffer (generate.py packed[:-2]); the window must have been
+        pre_encode()d under `key`. The dispatch rides the serial device
+        stream right behind the decode block, so its compute AND the
+        decode result's device->host round trip overlap instead of chaining
+        (each fetch costs a ~30-50 ms notification lag on a remote link).
+        Collected (and validated exactly) by spec_align_collect."""
+        self._spec = None
+        lang = (language or "").lower()
+        if lang in ("japanese", "korean"):  # non-general tokenize paths
+            return
+        if self._word_cls is None or self._pre is None or self._pre[0] != key:
+            return
+        if self._word_cls_dev is None:
+            import jax.numpy as jnp
+
+            self._word_cls_dev = jnp.asarray(self._word_cls)
+        _, audio_embd, n_audio = self._pre  # NOT consumed: fallback reuses it
+        limit = min(TIMESTAMP_CLASSES, self.dec_cfg.lm_head_dim)
+        out = self.runner.argmax_at_spec(
+            toks_dev, self._word_cls_dev, audio_embd, n_audio, limit,
+            (self.ID_AUDIO_START, self.ID_AUDIO_END, self.ID_TIMESTAMP),
+        )
+        if out is not None:
+            self._spec = {"key": key, "out": out, "lang": lang, "t0": time.time()}
+
+    def spec_align_collect(
+        self,
+        stable_tokens: list,
+        text: str,
+        language: str,
+        offset_sec: float,
+        key,
+    ) -> ForcedAlignResult | None:
+        """Exact-validated collection of a spec_align_start dispatch, or
+        None (caller falls back to align()). Validation is equality, not
+        heuristics: every emitted token must be class-1/2 and the class-2
+        tokens' characters must equal align()'s own tokenize() of the text
+        — when that holds the device-assembled prompt was byte-identical
+        to the one align() would build."""
+        spec, self._spec = self._spec, None
+        if spec is None or spec["key"] != key:
+            return None
+        if (language or "").lower() != spec["lang"]:
+            return None
+        tab = self._word_cls
+        toks = [int(t) for t in stable_tokens]
+        if any(t < 0 or t >= len(tab) or tab[t] == 0 for t in toks):
+            return None
+        kept = [t for t in toks if tab[t] == 2]
+        words = align_text.tokenize(text, language)
+        if [self.tokenizer.token_to_bytes(t).decode("utf-8") for t in kept] != words:
+            return None
+        t_dec0 = time.time()
+        out = np.asarray(spec["out"])  # transfer was started at dispatch
+        n_words_dev = int(out[-1])
+        if n_words_dev != len(kept):
+            return None
+        # the pre-encoded window was kept around for the fallback path;
+        # the speculative result stands, so drop it (never reuse across calls)
+        if self._pre is not None and self._pre[0] == key:
+            self._pre = None
+        if not words:
+            return ForcedAlignResult(
+                items=align_text.reconcile(text, []),
+                performance={"encoder_time": 0.0, "decoder_time": 0.0,
+                             "total_time": time.time() - spec["t0"]},
+            )
+        raw_ts = out[: 2 * len(kept)].tolist()
+        fixed = align_text.fix_timestamps(raw_ts)
+        ms = np.asarray(fixed, dtype=np.float64) * self.STEP_MS
+        items = [
+            ForcedAlignItem(
+                text=w,
+                start_time=float(ms[i * 2] / 1000.0 + offset_sec),
+                end_time=float(ms[i * 2 + 1] / 1000.0 + offset_sec),
+            )
+            for i, w in enumerate(words)
+        ]
+        return ForcedAlignResult(
+            items=align_text.reconcile(text, items),
+            performance={
+                "encoder_time": 0.0,
+                "decoder_time": time.time() - t_dec0,
+                "total_time": time.time() - spec["t0"],
+                "speculative": 1.0,
+            },
+        )
 
     def pre_encode(self, audio: np.ndarray, key) -> None:
         """Dispatch the encoder for an upcoming align window ahead of its

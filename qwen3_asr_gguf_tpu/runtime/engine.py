@@ -217,6 +217,11 @@ class QwenASREngine:
                     from .aligner import QwenForcedAligner
 
                     self._aligner = QwenForcedAligner(config.align_config)
+                    if self._aligner._word_cls is None:
+                        # one vocab walk builds the speculative-align word
+                        # table (sidecar-cached); still on the background
+                        # thread, so init cost is unaffected
+                        self._aligner.build_word_cls_table()
                 except BaseException as e:  # surfaced on first use
                     self._aligner_error = e
 
@@ -650,6 +655,10 @@ class QwenASREngine:
         detecting = detect_language and not language
         # current effective language: detection fills it after chunk 0
         cur = {"lang": language}
+        # per-call nonce in every align pre-encode/spec key: a (start, end)
+        # window pair alone can repeat across calls over DIFFERENT audio, and
+        # a stale pre-encoded window or speculative dispatch must never match
+        seq = self._align_seq = getattr(self, "_align_seq", 0) + 1
 
         samples_per_chunk = int(chunk_size_sec * SAMPLE_RATE)
         total_len = len(audio)
@@ -742,6 +751,16 @@ class QwenASREngine:
                 offset_sec = min(prev_limit, max(last_end, prev_limit - 10.0))
             return offset_sec, int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
 
+        # speculative final-chunk align (see aligner.spec_align_start): the
+        # last decode block's emitted-token buffer assembles the align
+        # prompt ON DEVICE, so the align prefill is already queued behind
+        # the block when the host is still waiting on the block's result
+        # fetch — the two ~30-50 ms device->host notification lags overlap
+        # instead of chaining. `packed`/`idx` are set by the dispatch task,
+        # `tokens` by the main loop after the block's result lands; collect
+        # validates exact equality and falls back to align() on mismatch.
+        spec_align: dict = {}
+
         def run_align(idx: int) -> None:
             """Align segment idx."""
             if self.aligner is None or not (0 <= idx < num_chunks):
@@ -751,12 +770,31 @@ class QwenASREngine:
                 seg.items = []
                 return
             offset_sec, s, e = align_window(idx)
+            ares = None
+            if spec_align.get("idx") == idx and spec_align.get("tokens") is not None:
+                try:
+                    ares = self.aligner.spec_align_collect(
+                        spec_align["tokens"], seg.text,
+                        seg.lang or cur["lang"] or "Chinese",
+                        offset_sec, key=(seq, s, e),
+                    )
+                except Exception:
+                    logger.debug("speculative align collect failed; "
+                                 "falling back", exc_info=True)
+                    ares = None
+            if ares is not None:
+                seg.items = list(ares.items)
+                aligned_items.extend(ares.items)
+                if ares.performance:
+                    stats["align_enc_time"] += ares.performance.get("encoder_time", 0)
+                    stats["align_dec_time"] += ares.performance.get("decoder_time", 0)
+                return  # last chunk: no idx+1 window to pre-encode
             try:
                 ares = self.aligner.align(
                     audio[s:e], seg.text,
                     language=seg.lang or cur["lang"] or "Chinese",
                     offset_sec=offset_sec,
-                    precomputed_key=(s, e),
+                    precomputed_key=(seq, s, e),
                 )
             except Exception:
                 # degrade to no timestamps but SAY SO (reference worker logs
@@ -779,7 +817,7 @@ class QwenASREngine:
             # of tailing the pipeline (the text arrives later)
             if idx + 1 < num_chunks:
                 _, s2, e2 = align_window(idx + 1)
-                self.aligner.pre_encode(audio[s2:e2], key=(s2, e2))
+                self.aligner.pre_encode(audio[s2:e2], key=(seq, s2, e2))
 
         if num_chunks:
             send_enc(0)
@@ -800,6 +838,31 @@ class QwenASREngine:
             if align_pool is not None and 0 <= idx < num_chunks:
                 align_futs.append(align_pool.submit(run_align, idx))
 
+        def submit_spec_align(packed) -> None:
+            """Queue the speculative final-chunk align dispatch on the align
+            worker: the serial queue guarantees it runs after align(last-1)
+            (whose items fix the window) / after the window-0 pre-encode."""
+            if align_pool is None or packed is None or "packed" in spec_align:
+                return
+            spec_align["packed"] = packed
+
+            def _task() -> None:
+                if self.aligner is None:
+                    return
+                idx_l = num_chunks - 1
+                _, s_l, e_l = align_window(idx_l)
+                try:
+                    self.aligner.spec_align_start(
+                        packed[:-2], key=(seq, s_l, e_l),
+                        language=cur["lang"] or "Chinese",
+                    )
+                    spec_align["idx"] = idx_l
+                except Exception:
+                    logger.debug("speculative align dispatch failed",
+                                 exc_info=True)
+
+            align_futs.append(align_pool.submit(_task))
+
         if align_pool is not None and num_chunks:
             # window 0 depends on no alignment items — pre-encode it NOW so
             # align(0)'s encoder pass rides under chunk decode instead of
@@ -815,9 +878,9 @@ class QwenASREngine:
                         # feed the already-device-resident row (a fresh host
                         # upload mid-stream stalls its consumer ~60 ms on the
                         # remote runtime)
-                        self.aligner.pre_encode(chunks_dev[0], key=(s0, e0))
+                        self.aligner.pre_encode(chunks_dev[0], key=(seq, s0, e0))
                     else:
-                        self.aligner.pre_encode(audio[s0:e0], key=(s0, e0))
+                        self.aligner.pre_encode(audio[s0:e0], key=(seq, s0, e0))
 
             align_futs.append(align_pool.submit(_pre0))
 
@@ -892,6 +955,10 @@ class QwenASREngine:
 
             if i >= 1:
                 submit_align(i - 1)
+            if i == num_chunks - 1 and inflight is not None:
+                # the last chunk's block was spec-dispatched during i-1:
+                # queue its speculative align right behind align(i-1)
+                submit_spec_align(inflight["packed"])
 
             # valid encoder tokens of THIS chunk (the final chunk is padded
             # to 40 s on device, but only its real frames enter the prompt —
@@ -941,6 +1008,8 @@ class QwenASREngine:
                     pend = self._dispatch_chunk(
                         ids, audio_mask, embd_in, temperature, reuse=reuse
                     )
+                    if is_last and pend is not None:
+                        submit_spec_align(pend["packed"])
                 if pend is None:  # multi-block config or context full
                     res, kv_cache = self._safe_decode(
                         ids, audio_mask, embd_in, rollback_num, is_last,
@@ -992,6 +1061,9 @@ class QwenASREngine:
                     # re-decode chunk i from the full prompt at escalated
                     # temperature (reference retry semantics, asr.py:193-209)
                     spec_next = None
+                    # the spec align (if any) saw the ABORTED token stream;
+                    # the retry's text differs, so it must not be collected
+                    spec_align.pop("idx", None)
                     res.text += "====decode aborted: repetition circuit breaker===="
                     if self.verbose:
                         print(f"\n\n[!] retrying with temperature {temperature + 0.3:.1f}\n")
@@ -1020,6 +1092,10 @@ class QwenASREngine:
                         kv_cache = pend["state"].cache
                         rebase_done = False
 
+            if is_last and not res.is_aborted:
+                # the align worker validates these against the speculative
+                # align dispatch before trusting its timestamps
+                spec_align["tokens"] = res.stable_tokens
             chunk_text = res.text
             mem_tokens = list(res.stable_tokens)
             if detecting and cur["lang"] is None:

@@ -713,8 +713,84 @@ class SparseLogitsRunner:
             logits = dec.lm_logits(params, sel, cfg.lm_head_dim)
             return jnp.argmax(logits[:, :limit], axis=-1).astype(jnp.int32)
 
+        @partial(
+            jax.jit,
+            static_argnames=("limit", "n_slots", "total", "n_pos",
+                             "tok_start", "tok_end", "tok_ts"),
+        )
+        def run_argmax_spec(
+            params, toks, cls_tab, audio_embd, n_audio,
+            limit: int, n_slots: int, total: int, n_pos: int,
+            tok_start: int, tok_end: int, tok_ts: int,
+        ):
+            """Speculative align prompt assembled ON DEVICE from a decode
+            block's emitted-token buffer (`toks`, -1 padded): tokens whose
+            word-class (`cls_tab`, int8[vocab]: 2=single-CJK-char word,
+            1=droppable punctuation/whitespace, 0=needs the host path) is 2
+            become one `word TS TS` triplet each — the exact per-character
+            prompt `align()` builds for CJK text (reference aligner.py:281-
+            300), dispatched before the block's result reaches the host so
+            the final chunk's alignment overlaps the device->host round
+            trip instead of tailing it. The host validates exactness after
+            the fetch and falls back to the synchronous path on mismatch."""
+            valid = toks >= 0
+            cls = jnp.where(valid, cls_tab[jnp.clip(toks, 0)].astype(jnp.int32), 1)
+            keep = cls == 2
+            kidx = jnp.cumsum(keep) - 1  # word slot for each kept token
+            n_words = jnp.sum(keep.astype(jnp.int32))
+            prefix = n_audio + 2  # AUDIO_START + audio rows + AUDIO_END
+            ids = jnp.zeros((total,), jnp.int32)
+            ids = ids.at[0].set(tok_start)
+            ids = ids.at[1 + n_audio].set(tok_end)
+            j = jnp.arange(n_slots)
+            live = j < n_words
+            slot = prefix + 3 * j
+            ids = ids.at[jnp.where(live, slot + 1, total)].set(tok_ts, mode="drop")
+            ids = ids.at[jnp.where(live, slot + 2, total)].set(tok_ts, mode="drop")
+            ids = ids.at[jnp.where(keep, prefix + 3 * kidx, total)].set(toks, mode="drop")
+            pos_t = jnp.arange(total)
+            mask = (pos_t >= 1) & (pos_t < 1 + n_audio)
+            embd = dec.splice_prompt(params, ids, mask, audio_embd)
+            length = prefix + 3 * n_words
+            hidden, _ = dec.forward_prefill(params, cfg, embd, None, length=length)
+            k = jnp.arange(n_pos)
+            pos = prefix + 3 * (k // 2) + 1 + (k % 2)
+            pos = jnp.where(k < 2 * n_words, pos, 0)
+            sel = jnp.take(hidden, pos, axis=0)
+            logits = dec.lm_logits(params, sel, cfg.lm_head_dim)
+            out = jnp.argmax(logits[:, :limit], axis=-1).astype(jnp.int32)
+            return jnp.concatenate([out, n_words[None]])
+
         self._run = run
         self._run_argmax = run_argmax
+        self._run_argmax_spec = run_argmax_spec
+
+    def argmax_at_spec(
+        self,
+        toks: jax.Array,  # device int32[block] emitted tokens, -1 padded
+        cls_tab: jax.Array,  # device int8[vocab] word-class table
+        audio_embd: jax.Array,  # bucket-shaped [A, D] window embedding
+        n_audio: int,
+        limit: int,
+        special: tuple[int, int, int],  # (AUDIO_START, AUDIO_END, TIMESTAMP)
+    ):
+        """Dispatch the speculative align prefill; returns the device array
+        `[ts[0..n_pos), n_words]` (fetch later). None if the worst-case
+        prompt would not fit n_ctx."""
+        n_slots = int(toks.shape[0])
+        total = self._prompt_pad(n_audio + 2 + 3 * n_slots)
+        if n_audio + 2 + 3 * n_slots > self.n_ctx:
+            return None
+        n_pos = round_up(max(2 * n_slots, 1), 256)
+        out = self._run_argmax_spec(
+            self.params, toks, cls_tab, audio_embd, jnp.int32(n_audio),
+            limit, n_slots, total, n_pos, special[0], special[1], special[2],
+        )
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
 
     def _pad_positions(self, positions: np.ndarray) -> np.ndarray:
         # coarse 256-slot buckets: align prompts vary with every sampled

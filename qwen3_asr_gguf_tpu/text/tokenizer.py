@@ -247,7 +247,11 @@ def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
     # CJK unified ranges (BMP first, then extension B), then two-char
     # combinations once single chars run out (a 152k vocab outnumbers the
     # ~70k unified chars); two-char pieces still split per-char in the
-    # aligner, like real multi-char CJK BPE merges do
+    # aligner, like real multi-char CJK BPE merges do.
+    # Pieces are stored BYTE-ENCODED with real merges so encode() round-
+    # trips them to their own ids, like the actual Qwen3 BPE does for
+    # common CJK characters (llama-vocab semantics) — the speculative-align
+    # word table relies on that round trip (aligner.build_word_cls_table).
     cjk_ranges = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF))
 
     def _cjk():
@@ -259,8 +263,19 @@ def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
                 yield chr(a) + chr(b)
 
     cjk = _cjk()
+    merge_seen = set(merges)
     while len(tokens) < vocab_size:
-        tokens.append(next(cjk))
+        piece = "".join(byte_enc[b] for b in next(cjk).encode("utf-8"))
+        # left-to-right pair merges build the piece: (c1 c2), (c1c2 c3), ...
+        # — shared prefixes (CJK bytes cluster by plane) dedupe naturally
+        acc = piece[0]
+        for ch in piece[1:]:
+            m = f"{acc} {ch}"
+            if m not in merge_seen:
+                merge_seen.add(m)
+                merges.append(m)
+            acc += ch
+        tokens.append(piece)
     types = [TOKTYPE_NORMAL] * 256 + [TOKTYPE_CONTROL] * len(specials)
     types += [TOKTYPE_NORMAL] * (len(tokens) - len(types))
     return BPETokenizer(tokens, merges, types, eos_token_id=tokens.index("<|endoftext|>"))

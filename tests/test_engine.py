@@ -408,3 +408,137 @@ def test_pipelined_mismatch_falls_back(model_dir):
     res2 = engine2.asr(audio, "", "English", chunk_size_sec=2.0,
                        temperature=0.0, rollback_num=0)
     assert res.text == res2.text
+
+
+# -- speculative final-chunk align -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spec_aligner(model_dir):
+    cfg = AlignerConfig(
+        model_dir=model_dir,
+        llm_fn="qwen3_aligner_llm.f16.gguf",
+        precision="f32",
+        n_ctx=512,
+    )
+    a = QwenForcedAligner(cfg)
+    a.build_word_cls_table()
+    return a
+
+
+def test_word_cls_table(spec_aligner):
+    tab = spec_aligner._word_cls
+    tok = spec_aligner.tokenizer
+    assert tab is not None and tab.shape == (tok.n_vocab,)
+    # single-CJK filler tokens round-trip -> class 2
+    cjk = [t for t in range(tok.n_vocab) if tab[t] == 2]
+    assert len(cjk) > 50
+    for t in cjk[:5]:
+        s = tok.token_to_bytes(t).decode("utf-8")
+        assert len(s) == 1
+        assert tok.encode(s, allow_special=False) == [t]
+    # whitespace byte token -> droppable
+    sp = tok.encode(" ", allow_special=False)
+    assert len(sp) == 1 and tab[sp[0]] == 1
+    # an ascii letter contributes a word for the general tokenizer -> class 0
+    lt = tok.encode("e", allow_special=False)
+    assert len(lt) == 1 and tab[lt[0]] == 0
+    # the table is sidecar-cached in the model dir
+    import os
+
+    assert os.path.exists(spec_aligner._word_cls_path)
+
+
+def test_spec_align_matches_align(spec_aligner):
+    """The device-assembled speculative align must produce the same items
+    as align() whenever its exact-validation accepts the token stream."""
+    import jax.numpy as jnp
+
+    a = spec_aligner
+    tok = a.tokenizer
+    tab = a._word_cls
+    cjk = [t for t in range(tok.n_vocab) if tab[t] == 2][:6]
+    punct = tok.encode(", ", allow_special=False)
+    assert all(tab[t] == 1 for t in punct), "ascii punctuation/space is droppable"
+    toks = cjk[:3] + punct + cjk[3:6]
+    text = tok.decode(toks)
+    audio = _audio(1.2)
+    key = ("spec", 0, len(audio))
+
+    # speculative path
+    a.pre_encode(audio, key=key)
+    pad = np.full(16, -1, np.int32)
+    pad[: len(toks)] = toks
+    a.spec_align_start(jnp.asarray(pad), key=key, language="Chinese")
+    assert a._spec is not None
+    res_spec = a.spec_align_collect(toks, text, "Chinese", 1.0, key=key)
+    assert res_spec is not None
+    assert res_spec.performance.get("speculative") == 1.0
+
+    # ground-truth path on a fresh encode of the same window
+    res_base = a.align(audio, text, language="Chinese", offset_sec=1.0)
+
+    assert [i.text for i in res_spec.items] == [i.text for i in res_base.items]
+    for s, b in zip(res_spec.items, res_base.items):
+        assert abs(s.start_time - b.start_time) < 1e-6
+        assert abs(s.end_time - b.end_time) < 1e-6
+
+
+def test_spec_align_falls_back_on_mismatch(spec_aligner):
+    """Class-0 tokens (latin words) or text drift must refuse the spec."""
+    import jax.numpy as jnp
+
+    a = spec_aligner
+    tok = a.tokenizer
+    tab = a._word_cls
+    cjk = [t for t in range(tok.n_vocab) if tab[t] == 2][:4]
+    audio = _audio(1.2)
+    key = ("spec2", 0, len(audio))
+
+    a.pre_encode(audio, key=key)
+    pad = np.full(16, -1, np.int32)
+    pad[: len(cjk)] = cjk
+    a.spec_align_start(jnp.asarray(pad), key=key, language="Chinese")
+    # text does not match the dispatched tokens -> None
+    assert a.spec_align_collect(cjk, "hello world", "Chinese", 0.0, key=key) is None
+
+    # class-0 token present -> None (holder already consumed; re-dispatch)
+    a.pre_encode(audio, key=key)
+    a.spec_align_start(jnp.asarray(pad), key=key, language="Chinese")
+    latin = tok.encode("e", allow_special=False)
+    mixed = cjk + latin
+    text = tok.decode(mixed)
+    assert a.spec_align_collect(mixed, text, "Chinese", 0.0, key=key) is None
+    # fallback window is still available for the synchronous path
+    assert a._pre is not None and a._pre[0] == key
+
+
+def test_engine_spec_align_end_to_end(model_dir):
+    """A full engine pass with the aligner: the speculative dispatch path
+    must never change the transcription result, whether it validates or
+    falls back (random tiny weights exercise both)."""
+    cfg = ASREngineConfig(
+        model_dir=model_dir,
+        llm_fn="qwen3_asr_llm.f16.gguf",
+        precision="f32",
+        chunk_size=2.0,
+        n_ctx=512,
+        verbose=False,
+        enable_aligner=True,
+        max_new_tokens=8,
+        decode_block=8,
+        pipelined_dispatch=True,
+        align_config=AlignerConfig(
+            model_dir=model_dir,
+            llm_fn="qwen3_aligner_llm.f16.gguf",
+            precision="f32",
+            n_ctx=512,
+        ),
+    )
+    engine = QwenASREngine(cfg)
+    np.random.seed(7)
+    res = engine.asr(_audio(3.5), None, "Chinese", chunk_size_sec=2.0, temperature=0.0)
+    assert isinstance(res.text, str)
+    if res.text.strip() and res.alignment is not None:
+        starts = [i.start_time for i in res.alignment.items]
+        assert all(starts[k] <= starts[k + 1] + 1e-9 for k in range(len(starts) - 1))
