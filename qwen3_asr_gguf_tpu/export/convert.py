@@ -70,6 +70,41 @@ def _np_init_like(shapes, seed: int) -> dict:
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+def cjk_word_token_ids(tok) -> "np.ndarray":
+    """Vocab ids that decode to exactly one CJK character and round-trip
+    through encode() — the ids a real Chinese transcript is made of (and
+    the ids the speculative-align word table classifies as words)."""
+    ids = []
+    for tid in range(tok.n_vocab):
+        try:
+            s = tok.token_to_bytes(tid).decode("utf-8")
+        except (UnicodeDecodeError, KeyError):
+            continue
+        from ..text.align_text import is_cjk_char
+
+        if len(s) == 1 and is_cjk_char(s) and tok.encode(s, allow_special=False) == [tid]:
+            ids.append(tid)
+    return np.asarray(ids, dtype=np.int64)
+
+
+def _bias_lm_head_cjk(dec_params: dict, tok) -> None:
+    """Shrink non-CJK lm_head rows so a random-weight decoder SAMPLES a
+    plausible Chinese transcript (single-CJK-char tokens), the workload the
+    reference's own benchmark measures (50.2 s Chinese audio whose output
+    is a per-character Chinese text, README.md:49). Without this a uniform
+    random vocab draw is ~54 % multi-char/byte pieces — a transcript no
+    real ASR model produces. FLOP/byte cost is untouched (same shapes)."""
+    head = dec_params.get("lm_head")
+    if head is None or head.ndim != 2:
+        return
+    word_ids = cjk_word_token_ids(tok)
+    if len(word_ids) < 100:
+        return
+    scale = np.full(head.shape[0], 0.3, dtype=head.dtype)
+    scale[word_ids] = 1.0
+    head *= scale[:, None]
+
+
 def make_synthetic_checkpoint(
     model_dir: str,
     preset_name: str = "tiny",
@@ -103,6 +138,8 @@ def make_synthetic_checkpoint(
         jax.eval_shape(lambda k: dec_model.init_params(thinker.text, k), jax.random.key(0)),
         seed + 1,
     )
+    if not aligner:
+        _bias_lm_head_cjk(dec_params, tok)
 
     enc_fn = ALIGNER_ENCODER_FN if aligner else ASR_ENCODER_FN
     llm_fn = f"qwen3_{'aligner' if aligner else 'asr'}_llm.{quant}.gguf"

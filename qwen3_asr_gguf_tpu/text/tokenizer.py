@@ -264,10 +264,19 @@ def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
 
     cjk = _cjk()
     merge_seen = set(merges)
+    vocab_seen = set(tokens)
     while len(tokens) < vocab_size:
         piece = "".join(byte_enc[b] for b in next(cjk).encode("utf-8"))
         # left-to-right pair merges build the piece: (c1 c2), (c1c2 c3), ...
-        # — shared prefixes (CJK bytes cluster by plane) dedupe naturally
+        # — shared prefixes (CJK bytes cluster by plane) dedupe naturally.
+        # Intermediate pieces enter the vocab too (real BPE vocabs contain
+        # every merge product; HF `tokenizers` refuses merges whose halves
+        # are out-of-vocabulary), so tokens and merges are added per piece
+        # atomically: a truncated final piece would orphan its merges
+        new_toks = [piece[: i + 1] for i in range(1, len(piece))
+                    if piece[: i + 1] not in vocab_seen]
+        if len(tokens) + len(new_toks) > vocab_size:
+            break
         acc = piece[0]
         for ch in piece[1:]:
             m = f"{acc} {ch}"
@@ -275,7 +284,11 @@ def build_synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
                 merge_seen.add(m)
                 merges.append(m)
             acc += ch
-        tokens.append(piece)
+        for t in new_toks:
+            vocab_seen.add(t)
+            tokens.append(t)
+    while len(tokens) < vocab_size:  # top up if the last piece didn't fit
+        tokens.append(f"<unused{len(tokens)}>")
     types = [TOKTYPE_NORMAL] * 256 + [TOKTYPE_CONTROL] * len(specials)
     types += [TOKTYPE_NORMAL] * (len(tokens) - len(types))
     return BPETokenizer(tokens, merges, types, eos_token_id=tokens.index("<|endoftext|>"))

@@ -318,6 +318,10 @@ def test_poisoned_aligner_warns_and_completes(model_dir, caplog):
         raise RuntimeError("poisoned aligner")
 
     engine._aligner.align = boom
+    # disable the speculative path too: with the CJK-biased synthetic head
+    # it can validate and bypass align() entirely, which is the healthy-path
+    # behavior — this test is about the broken aligner
+    engine._aligner._word_cls = None
     with caplog.at_level(logging.WARNING, logger="qwen3_asr_gguf_tpu"):
         res = engine.asr(_audio(1.5), None, "English", chunk_size_sec=2.0,
                          temperature=0.0)
