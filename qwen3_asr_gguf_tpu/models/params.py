@@ -320,11 +320,33 @@ def load_decoder_gguf(
                 reader_box["r"] = GGUFReader(path)
             return reader_box["r"]
 
-        meta = _sidecar_meta_load(sidecar_dir, src_mtime)
+        # the meta pickle (~0.5 s: 152k-token BPE unpickle) and the tensor
+        # sidecar staging are independent files — overlap them. The loader
+        # only needs `cfg` on a sidecar MISS (warm_only returns None there)
+        import threading as _threading0
+
+        meta_box: dict = {}
+
+        def _meta_up():
+            try:
+                meta_box["m"] = _sidecar_meta_load(sidecar_dir, src_mtime)
+            except BaseException as e:
+                meta_box["e"] = e
+
+        _meta_thread = _threading0.Thread(target=_meta_up, daemon=True)
+        _meta_thread.start()
+        warm_params = loader(_reader, None, path, dense_dtype, warm_only=True)
+        _meta_thread.join()
+        if "e" in meta_box:
+            raise meta_box["e"]
+        meta = meta_box.get("m")
         if meta is not None:
             cfg, tokenizer = meta
             _logger.info("decoder load: sidecar meta hit at +%.2fs", _time.time() - _t0)
-            return cfg, loader(_reader, cfg, path, dense_dtype), tokenizer
+            params = warm_params if warm_params is not None else loader(
+                _reader, cfg, path, dense_dtype
+            )
+            return cfg, params, tokenizer
 
         reader = _reader()
         cfg = decoder_config_from_gguf(reader)
@@ -344,7 +366,9 @@ def load_decoder_gguf(
         tok_thread = _threading.Thread(target=_build_tok, daemon=True)
         tok_thread.start()
         _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
-        params = loader(_reader, cfg, path, dense_dtype)
+        params = warm_params if warm_params is not None else loader(
+            _reader, cfg, path, dense_dtype
+        )
         tok_thread.join()
         if "error" in tok_box:
             raise tok_box["error"]
@@ -392,7 +416,9 @@ def load_decoder_gguf(
     return cfg, params, tokenizer
 
 
-def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+def _load_int8_params(
+    reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype, warm_only: bool = False
+) -> dict | None:
     """int8 load path: q4_k/q6_k content requantized to per-channel int8 on
     the host (decode through the packed int4 kernel is VPU-dequant-bound;
     int8 rides the MXU's native path at ~2.6x the tokens/s). The converted
@@ -414,6 +440,8 @@ def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
         z = np.load(legacy_npz)
         flat = {k: z[k] for k in z.files}
         _sidecar_save(sidecar_dir, flat)  # migrate once to per-tensor layout
+    elif warm_only:
+        return None  # sidecar miss needs cfg/reader — caller retries with them
     else:
         reader = reader_fn()
         flat: dict[str, np.ndarray] = {}
@@ -459,15 +487,21 @@ def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
     )
     _embed_thread.start()
 
-    layers: dict[str, Any] = {}
-    for mine in _LAYER_MAP:
+    # staged on a small pool like the int4 path: memcpy + PJRT staging both
+    # release the GIL and overlap across groups
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _stage(mine: str):
         if mine in _QUANTIZABLE:
-            layers[mine] = Int8Weight(
+            return Int8Weight(
                 q=jnp.asarray(np.ascontiguousarray(flat[f"layers.{mine}.q"])),
                 scale=jnp.asarray(np.ascontiguousarray(flat[f"layers.{mine}.scale"])),
             )
-        else:
-            layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+        return jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+
+    group_names = list(_LAYER_MAP)
+    with _TPE(max_workers=4, thread_name_prefix="stage") as _pool:
+        layers = dict(zip(group_names, _pool.map(_stage, group_names)))
     _embed_thread.join()
     if "error" in _embed_box:
         raise _embed_box["error"]
@@ -482,7 +516,9 @@ def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
     }
 
 
-def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
+def _load_int4_params(
+    reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype, warm_only: bool = False
+) -> dict | None:
     """int4 load path: q4_k content repacked into the MXU matvec layout
     (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
     exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
@@ -502,6 +538,8 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
     cached = _sidecar_load(sidecar_dir, src_mtime, _sidecar_expected("int4"))
     if cached is not None:
         flat = cached
+    elif warm_only:
+        return None  # sidecar miss needs cfg/reader — caller retries with them
     else:
         reader = reader_fn()
 
@@ -581,12 +619,23 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
             parts = pad_rows(*(np.asarray(a) for a in parts), multiple=1024)
         return Q4KMXUWeight(*(jnp.asarray(a) for a in parts))
 
-    layers: dict[str, Any] = {}
-    for mine in _LAYER_MAP:
+    # stage tensor groups on a small pool: the serial loop was mmap->RAM
+    # memcpy + PJRT host staging back to back (~1.5 s at 1.7B); both release
+    # the GIL and overlap well across groups (the embed thread above already
+    # proves concurrent staging is safe)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _stage(mine: str):
+        if mine == "lm_head":
+            return _mxu("lm_head")
         if mine in _QUANTIZABLE:
-            layers[mine] = _mxu(f"layers.{mine}")
-        else:
-            layers[mine] = jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+            return _mxu(f"layers.{mine}")
+        return jnp.asarray(flat[f"layers.{mine}"], dtype=jnp.float32)
+
+    group_names = list(_LAYER_MAP) + ["lm_head"]
+    with _TPE(max_workers=4, thread_name_prefix="stage") as _pool:
+        staged = dict(zip(group_names, _pool.map(_stage, group_names)))
+    layers = {mine: staged[mine] for mine in _LAYER_MAP}
     _logger.info("int4 load: layer upload dispatched at +%.2fs", _time.time() - _t0)
     _embed_thread.join()
     if "error" in _embed_box:
@@ -596,7 +645,7 @@ def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype)
         "embed": embed_dev,
         "layers": layers,
         "final_norm": jnp.asarray(np.ascontiguousarray(flat["final_norm"]), dtype=jnp.float32),
-        "lm_head": _mxu("lm_head"),
+        "lm_head": staged["lm_head"],
     }
     # uploads complete asynchronously — later init work (prefill dequant,
     # generator jit bring-up) overlaps the transfer; XLA orders any consumer

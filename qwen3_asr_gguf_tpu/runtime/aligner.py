@@ -132,7 +132,9 @@ class QwenForcedAligner:
             pass
         return tab
 
-    def spec_align_start(self, toks_dev, key, language: str) -> None:
+    def spec_align_start(
+        self, toks_dev, key, language: str, drop_last: int = 0
+    ) -> None:
         """Dispatch the speculative align prefill for a decode block still
         in flight: `toks_dev` is the block's device-resident emitted-token
         buffer (generate.py packed[:-2]); the window must have been
@@ -156,6 +158,7 @@ class QwenForcedAligner:
         out = self.runner.argmax_at_spec(
             toks_dev, self._word_cls_dev, audio_embd, n_audio, limit,
             (self.ID_AUDIO_START, self.ID_AUDIO_END, self.ID_TIMESTAMP),
+            drop_last=drop_last,
         )
         if out is not None:
             self._spec = {"key": key, "out": out, "lang": lang, "t0": time.time()}

@@ -688,6 +688,14 @@ class QwenASREngine:
                 now = time.time()
                 phases.append((name, now - _t_last[0]))
                 _t_last[0] = now
+
+        # worker-thread trace: absolute offsets from t_main (the align worker
+        # overlaps the main loop, so delta-marks would interleave wrongly)
+        wphases: list[tuple[str, float]] = []
+
+        def wmark(name: str) -> None:
+            if trace_on:
+                wphases.append((name, time.time() - t_main))
         stats = {
             "prefill_time": 0.0, "decode_time": 0.0,
             "prefill_tokens": 0, "decode_tokens": 0,
@@ -751,15 +759,17 @@ class QwenASREngine:
                 offset_sec = min(prev_limit, max(last_end, prev_limit - 10.0))
             return offset_sec, int(offset_sec * SAMPLE_RATE), int(seg.audio_end * SAMPLE_RATE)
 
-        # speculative final-chunk align (see aligner.spec_align_start): the
-        # last decode block's emitted-token buffer assembles the align
-        # prompt ON DEVICE, so the align prefill is already queued behind
-        # the block when the host is still waiting on the block's result
-        # fetch — the two ~30-50 ms device->host notification lags overlap
-        # instead of chaining. `packed`/`idx` are set by the dispatch task,
-        # `tokens` by the main loop after the block's result lands; collect
-        # validates exact equality and falls back to align() on mismatch.
-        spec_align: dict = {}
+        # speculative align (see aligner.spec_align_start): a decode block's
+        # emitted-token buffer assembles the align prompt ON DEVICE, so the
+        # align prefill is already queued behind the block when the host is
+        # still waiting on the block's result fetch — the two ~30-50 ms
+        # device->host notification lags overlap instead of chaining.
+        # Dispatched for chunk 0 (window fixed at transcribe start; the
+        # rollback trim mirrors on device via drop_last) and for the last
+        # chunk (window fixed once align(last-1) lands). `tokens` is set by
+        # the main loop after the block's result lands; collect validates
+        # exact equality and falls back to align() on mismatch.
+        spec_aligns: dict[int, dict] = {}  # idx -> {"tokens": list | None}
 
         def run_align(idx: int) -> None:
             """Align segment idx."""
@@ -769,15 +779,18 @@ class QwenASREngine:
             if not seg.text.strip():
                 seg.items = []
                 return
+            wmark(f"align{idx}.start")
             offset_sec, s, e = align_window(idx)
             ares = None
-            if spec_align.get("idx") == idx and spec_align.get("tokens") is not None:
+            ent = spec_aligns.get(idx)
+            if ent is not None and ent.get("tokens") is not None:
                 try:
                     ares = self.aligner.spec_align_collect(
-                        spec_align["tokens"], seg.text,
+                        ent["tokens"], seg.text,
                         seg.lang or cur["lang"] or "Chinese",
                         offset_sec, key=(seq, s, e),
                     )
+                    wmark(f"align{idx}.spec_collect")
                 except Exception:
                     logger.debug("speculative align collect failed; "
                                  "falling back", exc_info=True)
@@ -788,7 +801,12 @@ class QwenASREngine:
                 if ares.performance:
                     stats["align_enc_time"] += ares.performance.get("encoder_time", 0)
                     stats["align_dec_time"] += ares.performance.get("decoder_time", 0)
-                return  # last chunk: no idx+1 window to pre-encode
+                if idx + 1 < num_chunks:
+                    # window idx+1 is now determined — pre-dispatch its
+                    # encode (same as the fallback path below)
+                    _, s2, e2 = align_window(idx + 1)
+                    self.aligner.pre_encode(audio[s2:e2], key=(seq, s2, e2))
+                return
             try:
                 ares = self.aligner.align(
                     audio[s:e], seg.text,
@@ -796,6 +814,7 @@ class QwenASREngine:
                     offset_sec=offset_sec,
                     precomputed_key=(seq, s, e),
                 )
+                wmark(f"align{idx}.full")
             except Exception:
                 # degrade to no timestamps but SAY SO (reference worker logs
                 # through its error path, asr_worker.py:36-38; a silently
@@ -838,25 +857,28 @@ class QwenASREngine:
             if align_pool is not None and 0 <= idx < num_chunks:
                 align_futs.append(align_pool.submit(run_align, idx))
 
-        def submit_spec_align(packed) -> None:
-            """Queue the speculative final-chunk align dispatch on the align
-            worker: the serial queue guarantees it runs after align(last-1)
-            (whose items fix the window) / after the window-0 pre-encode."""
-            if align_pool is None or packed is None or "packed" in spec_align:
+        def submit_spec_align(idx: int, packed, drop_last: int = 0) -> None:
+            """Queue a speculative align dispatch on the align worker. The
+            serial queue guarantees window ordering: idx 0's window is fixed
+            at transcribe start (behind the window-0 pre-encode only), the
+            last chunk's once align(last-1) lands. `drop_last` mirrors the
+            host's rollback trim on device for non-last chunks."""
+            if align_pool is None or packed is None or idx in spec_aligns:
                 return
-            spec_align["packed"] = packed
+            spec_aligns[idx] = {"tokens": None}
 
             def _task() -> None:
                 if self.aligner is None:
                     return
-                idx_l = num_chunks - 1
-                _, s_l, e_l = align_window(idx_l)
+                wmark(f"spec_align{idx}.start")
+                _, s_w, e_w = align_window(idx)
                 try:
                     self.aligner.spec_align_start(
-                        packed[:-2], key=(seq, s_l, e_l),
+                        packed[:-2], key=(seq, s_w, e_w),
                         language=cur["lang"] or "Chinese",
+                        drop_last=drop_last,
                     )
-                    spec_align["idx"] = idx_l
+                    wmark(f"spec_align{idx}.dispatched")
                 except Exception:
                     logger.debug("speculative align dispatch failed",
                                  exc_info=True)
@@ -958,7 +980,7 @@ class QwenASREngine:
             if i == num_chunks - 1 and inflight is not None:
                 # the last chunk's block was spec-dispatched during i-1:
                 # queue its speculative align right behind align(i-1)
-                submit_spec_align(inflight["packed"])
+                submit_spec_align(i, inflight["packed"])
 
             # valid encoder tokens of THIS chunk (the final chunk is padded
             # to 40 s on device, but only its real frames enter the prompt —
@@ -1009,7 +1031,15 @@ class QwenASREngine:
                         ids, audio_mask, embd_in, temperature, reuse=reuse
                     )
                     if is_last and pend is not None:
-                        submit_spec_align(pend["packed"])
+                        submit_spec_align(i, pend["packed"])
+                    elif i == 0 and pend is not None and not detecting:
+                        # chunk 0's window is fixed (starts at 0) — its spec
+                        # align chain enqueues right behind block 0, BEFORE
+                        # chunk 1's speculative prefill+block, so align(0)'s
+                        # result no longer tails block 1 and the last chunk's
+                        # spec dispatch (which waits on align(0)'s items for
+                        # its window) unblocks a full block earlier
+                        submit_spec_align(i, pend["packed"], drop_last=rollback_num)
                 if pend is None:  # multi-block config or context full
                     res, kv_cache = self._safe_decode(
                         ids, audio_mask, embd_in, rollback_num, is_last,
@@ -1063,7 +1093,7 @@ class QwenASREngine:
                     spec_next = None
                     # the spec align (if any) saw the ABORTED token stream;
                     # the retry's text differs, so it must not be collected
-                    spec_align.pop("idx", None)
+                    spec_aligns.pop(i, None)
                     res.text += "====decode aborted: repetition circuit breaker===="
                     if self.verbose:
                         print(f"\n\n[!] retrying with temperature {temperature + 0.3:.1f}\n")
@@ -1092,10 +1122,10 @@ class QwenASREngine:
                         kv_cache = pend["state"].cache
                         rebase_done = False
 
-            if is_last and not res.is_aborted:
+            if not res.is_aborted and i in spec_aligns:
                 # the align worker validates these against the speculative
                 # align dispatch before trusting its timestamps
-                spec_align["tokens"] = res.stable_tokens
+                spec_aligns[i]["tokens"] = res.stable_tokens
             chunk_text = res.text
             mem_tokens = list(res.stable_tokens)
             if detecting and cur["lang"] is None:
@@ -1135,6 +1165,11 @@ class QwenASREngine:
                 "engine trace: " + " | ".join(f"{n} {dt*1e3:.0f}ms" for n, dt in phases),
                 file=_sys.stderr, flush=True,
             )
+            if wphases:
+                print(
+                    "align trace: " + " | ".join(f"{n} @{t*1e3:.0f}ms" for n, t in wphases),
+                    file=_sys.stderr, flush=True,
+                )
 
         aligned_items.sort(key=lambda x: x.start_time)
         t_total = time.time() - t_main

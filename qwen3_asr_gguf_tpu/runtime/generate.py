@@ -719,7 +719,7 @@ class SparseLogitsRunner:
                              "tok_start", "tok_end", "tok_ts"),
         )
         def run_argmax_spec(
-            params, toks, cls_tab, audio_embd, n_audio,
+            params, toks, cls_tab, audio_embd, n_audio, drop,
             limit: int, n_slots: int, total: int, n_pos: int,
             tok_start: int, tok_end: int, tok_ts: int,
         ):
@@ -732,9 +732,15 @@ class SparseLogitsRunner:
             300), dispatched before the block's result reaches the host so
             the final chunk's alignment overlaps the device->host round
             trip instead of tailing it. The host validates exactness after
-            the fetch and falls back to the synchronous path on mismatch."""
+            the fetch and falls back to the synchronous path on mismatch.
+
+            `drop` (traced int32) excludes the last N valid tokens from the
+            prompt — non-last chunks align their rollback-trimmed stable
+            text, so the device prompt must mirror the host's trim."""
             valid = toks >= 0
-            cls = jnp.where(valid, cls_tab[jnp.clip(toks, 0)].astype(jnp.int32), 1)
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+            used = valid & (jnp.arange(toks.shape[0]) < n_valid - drop)
+            cls = jnp.where(used, cls_tab[jnp.clip(toks, 0)].astype(jnp.int32), 1)
             keep = cls == 2
             kidx = jnp.cumsum(keep) - 1  # word slot for each kept token
             n_words = jnp.sum(keep.astype(jnp.int32))
@@ -773,6 +779,7 @@ class SparseLogitsRunner:
         n_audio: int,
         limit: int,
         special: tuple[int, int, int],  # (AUDIO_START, AUDIO_END, TIMESTAMP)
+        drop_last: int = 0,  # rollback trim for non-last chunks
     ):
         """Dispatch the speculative align prefill; returns the device array
         `[ts[0..n_pos), n_words]` (fetch later). None if the worst-case
@@ -784,6 +791,7 @@ class SparseLogitsRunner:
         n_pos = round_up(max(2 * n_slots, 1), 256)
         out = self._run_argmax_spec(
             self.params, toks, cls_tab, audio_embd, jnp.int32(n_audio),
+            jnp.int32(drop_last),
             limit, n_slots, total, n_pos, special[0], special[1], special[2],
         )
         try:

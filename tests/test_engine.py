@@ -488,6 +488,39 @@ def test_spec_align_matches_align(spec_aligner):
         assert abs(s.end_time - b.end_time) < 1e-6
 
 
+def test_spec_align_drop_last_matches_align(spec_aligner):
+    """Non-last chunks align their rollback-trimmed stable text; drop_last
+    must mirror the host trim on device — the spec result on the FULL
+    emitted buffer with drop_last=K must equal align() of the trimmed
+    text (engine.py chunk-0 spec dispatch)."""
+    import jax.numpy as jnp
+
+    a = spec_aligner
+    tok = a.tokenizer
+    tab = a._word_cls
+    cjk = [t for t in range(tok.n_vocab) if tab[t] == 2][:8]
+    drop = 3  # the engine's rollback trim
+    stable = cjk[: len(cjk) - drop]
+    text = tok.decode(stable)
+    audio = _audio(1.2)
+    key = ("spec-drop", 0, len(audio))
+
+    a.pre_encode(audio, key=key)
+    pad = np.full(16, -1, np.int32)
+    pad[: len(cjk)] = cjk  # device buffer holds the UNtrimmed emission
+    a.spec_align_start(jnp.asarray(pad), key=key, language="Chinese",
+                       drop_last=drop)
+    res_spec = a.spec_align_collect(stable, text, "Chinese", 0.5, key=key)
+    assert res_spec is not None
+    assert res_spec.performance.get("speculative") == 1.0
+
+    res_base = a.align(audio, text, language="Chinese", offset_sec=0.5)
+    assert [i.text for i in res_spec.items] == [i.text for i in res_base.items]
+    for s, b in zip(res_spec.items, res_base.items):
+        assert abs(s.start_time - b.start_time) < 1e-6
+        assert abs(s.end_time - b.end_time) < 1e-6
+
+
 def test_spec_align_falls_back_on_mismatch(spec_aligner):
     """Class-0 tokens (latin words) or text drift must refuse the spec."""
     import jax.numpy as jnp
