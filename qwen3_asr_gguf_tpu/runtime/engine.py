@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
+import threading
 import time
 from codecs import getincrementaldecoder
 from collections import deque
@@ -857,33 +858,45 @@ class QwenASREngine:
             if align_pool is not None and 0 <= idx < num_chunks:
                 align_futs.append(align_pool.submit(run_align, idx))
 
-        def submit_spec_align(idx: int, packed, drop_last: int = 0) -> None:
+        def submit_spec_align(
+            idx: int, packed, drop_last: int = 0
+        ) -> threading.Event | None:
             """Queue a speculative align dispatch on the align worker. The
             serial queue guarantees window ordering: idx 0's window is fixed
             at transcribe start (behind the window-0 pre-encode only), the
             last chunk's once align(last-1) lands. `drop_last` mirrors the
-            host's rollback trim on device for non-last chunks."""
+            host's rollback trim on device for non-last chunks.
+
+            Returns an Event set once the device dispatch happened: the
+            caller can gate its NEXT device enqueue on it to pin the device
+            queue order (the ~13 ms align prefill must slot BEFORE the next
+            chunk's block, or its result tails that block by ~150 ms)."""
             if align_pool is None or packed is None or idx in spec_aligns:
-                return
+                return None
             spec_aligns[idx] = {"tokens": None}
+            evt = threading.Event()
 
             def _task() -> None:
-                if self.aligner is None:
-                    return
-                wmark(f"spec_align{idx}.start")
-                _, s_w, e_w = align_window(idx)
                 try:
-                    self.aligner.spec_align_start(
-                        packed[:-2], key=(seq, s_w, e_w),
-                        language=cur["lang"] or "Chinese",
-                        drop_last=drop_last,
-                    )
-                    wmark(f"spec_align{idx}.dispatched")
-                except Exception:
-                    logger.debug("speculative align dispatch failed",
-                                 exc_info=True)
+                    if self.aligner is None:
+                        return
+                    wmark(f"spec_align{idx}.start")
+                    _, s_w, e_w = align_window(idx)
+                    try:
+                        self.aligner.spec_align_start(
+                            packed[:-2], key=(seq, s_w, e_w),
+                            language=cur["lang"] or "Chinese",
+                            drop_last=drop_last,
+                        )
+                        wmark(f"spec_align{idx}.dispatched")
+                    except Exception:
+                        logger.debug("speculative align dispatch failed",
+                                     exc_info=True)
+                finally:
+                    evt.set()
 
             align_futs.append(align_pool.submit(_task))
+            return evt
 
         if align_pool is not None and num_chunks:
             # window 0 depends on no alignment items — pre-encode it NOW so
@@ -940,6 +953,7 @@ class QwenASREngine:
             and self.config.max_new_tokens == self.generator.block
         )
         inflight = None  # dispatched-but-uncollected chunk i
+        spec0_evt = None  # chunk-0 spec-align dispatch gate (device order)
         rebase_done = False  # chunk i's rebase already ran during spec dispatch
 
         def full_prompt(i: int, audio_feature, lang, detect):
@@ -1039,7 +1053,9 @@ class QwenASREngine:
                         # result no longer tails block 1 and the last chunk's
                         # spec dispatch (which waits on align(0)'s items for
                         # its window) unblocks a full block earlier
-                        submit_spec_align(i, pend["packed"], drop_last=rollback_num)
+                        spec0_evt = submit_spec_align(
+                            i, pend["packed"], drop_last=rollback_num
+                        )
                 if pend is None:  # multi-block config or context full
                     res, kv_cache = self._safe_decode(
                         ids, audio_mask, embd_in, rollback_num, is_last,
@@ -1067,6 +1083,13 @@ class QwenASREngine:
                 )
                 max_keep = min(self.generator.block, max(budget, 0))
                 if max_keep > 0:
+                    if spec0_evt is not None:
+                        # pin the device queue order: chunk 0's ~13 ms spec
+                        # align prefill must enqueue BEFORE chunk 1's block,
+                        # or its result tails that block by a full ~150 ms.
+                        # Bounded wait — a wedged aligner only costs order.
+                        spec0_evt.wait(0.2)
+                        spec0_evt = None
                     cache_next = pend["state"].cache
                     if i + 1 >= 2:
                         cache_next = self.generator.rebase_kv(
