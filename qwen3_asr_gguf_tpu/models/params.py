@@ -292,12 +292,28 @@ def decoder_config_from_gguf(reader: GGUFReader) -> TextDecoderConfig:
     )
 
 
+def load_decoder_meta(
+    path: str, precision: str
+) -> tuple[TextDecoderConfig, BPETokenizer] | None:
+    """Warm-path (config, tokenizer) from the sidecar meta pickle, or None.
+
+    Split out of `load_decoder_gguf` so callers can run it BEFORE spinning
+    up contending threads: the unpickle is 0.18 s alone but starves on the
+    GIL next to an encoder load or tensor staging (measured 1.4-3.8 s), and
+    everything downstream of the decoder load waits on it."""
+    if precision not in ("int8", "int4"):
+        return None
+    sidecar_dir = Path(path + "." + precision)
+    return _sidecar_meta_load(sidecar_dir, Path(path).stat().st_mtime)
+
+
 def load_decoder_gguf(
     path: str,
     *,
     precision: str = "int8",  # "int8" (MXU-native compute), "q4_k" (packed
     #                            pallas path, lowest HBM), "bf16", "f32"
     dtype=jnp.bfloat16,
+    meta: tuple[TextDecoderConfig, BPETokenizer] | None = None,
 ) -> tuple[TextDecoderConfig, dict, BPETokenizer]:
     import time as _time
 
@@ -320,33 +336,17 @@ def load_decoder_gguf(
                 reader_box["r"] = GGUFReader(path)
             return reader_box["r"]
 
-        # the meta pickle (~0.5 s: 152k-token BPE unpickle) and the tensor
-        # sidecar staging are independent files — overlap them. The loader
-        # only needs `cfg` on a sidecar MISS (warm_only returns None there)
-        import threading as _threading0
-
-        meta_box: dict = {}
-
-        def _meta_up():
-            try:
-                meta_box["m"] = _sidecar_meta_load(sidecar_dir, src_mtime)
-            except BaseException as e:
-                meta_box["e"] = e
-
-        _meta_thread = _threading0.Thread(target=_meta_up, daemon=True)
-        _meta_thread.start()
-        warm_params = loader(_reader, None, path, dense_dtype, warm_only=True)
-        _meta_thread.join()
-        if "e" in meta_box:
-            raise meta_box["e"]
-        meta = meta_box.get("m")
+        # meta FIRST, serially (unless the caller pre-loaded it): the
+        # unpickle is 0.18 s alone, but run concurrently with tensor staging
+        # it starves on the GIL and becomes the load's long pole (measured
+        # 3.8 s joined vs 2.6 s for staging dispatch — the overlap is a net
+        # loss, do not reintroduce)
+        if meta is None:
+            meta = _sidecar_meta_load(sidecar_dir, src_mtime)
         if meta is not None:
             cfg, tokenizer = meta
             _logger.info("decoder load: sidecar meta hit at +%.2fs", _time.time() - _t0)
-            params = warm_params if warm_params is not None else loader(
-                _reader, cfg, path, dense_dtype
-            )
-            return cfg, params, tokenizer
+            return cfg, loader(_reader, cfg, path, dense_dtype), tokenizer
 
         reader = _reader()
         cfg = decoder_config_from_gguf(reader)
@@ -366,9 +366,7 @@ def load_decoder_gguf(
         tok_thread = _threading.Thread(target=_build_tok, daemon=True)
         tok_thread.start()
         _logger.info("decoder load: reader up at +%.2fs", _time.time() - _t0)
-        params = warm_params if warm_params is not None else loader(
-            _reader, cfg, path, dense_dtype
-        )
+        params = loader(_reader, cfg, path, dense_dtype)
         tok_thread.join()
         if "error" in tok_box:
             raise tok_box["error"]
@@ -416,9 +414,7 @@ def load_decoder_gguf(
     return cfg, params, tokenizer
 
 
-def _load_int8_params(
-    reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype, warm_only: bool = False
-) -> dict | None:
+def _load_int8_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
     """int8 load path: q4_k/q6_k content requantized to per-channel int8 on
     the host (decode through the packed int4 kernel is VPU-dequant-bound;
     int8 rides the MXU's native path at ~2.6x the tokens/s). The converted
@@ -440,8 +436,6 @@ def _load_int8_params(
         z = np.load(legacy_npz)
         flat = {k: z[k] for k in z.files}
         _sidecar_save(sidecar_dir, flat)  # migrate once to per-tensor layout
-    elif warm_only:
-        return None  # sidecar miss needs cfg/reader — caller retries with them
     else:
         reader = reader_fn()
         flat: dict[str, np.ndarray] = {}
@@ -516,9 +510,7 @@ def _load_int8_params(
     }
 
 
-def _load_int4_params(
-    reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype, warm_only: bool = False
-) -> dict | None:
+def _load_int4_params(reader_fn, cfg: TextDecoderConfig, path: str, dense_dtype) -> dict:
     """int4 load path: q4_k content repacked into the MXU matvec layout
     (`ops.pallas_q4k.Q4KMXUWeight`) — weights stream 4-bit at decode with
     exact per-32-group q4_k scales, ~half the int8 path's HBM bytes/token.
@@ -538,8 +530,6 @@ def _load_int4_params(
     cached = _sidecar_load(sidecar_dir, src_mtime, _sidecar_expected("int4"))
     if cached is not None:
         flat = cached
-    elif warm_only:
-        return None  # sidecar miss needs cfg/reader — caller retries with them
     else:
         reader = reader_fn()
 
