@@ -92,11 +92,16 @@ class ContinuousBatcher:
                 lambda ls: dec.unstack_layers(ls, self.cfg.num_layers)
             )(self.params["layers"])
 
+        # KV dtype follows the engine's generator: an f32 engine must serve
+        # with f32 KV — a hardcoded bf16 cache perturbed logits ~0.4%
+        # relative, enough to flip near-margin greedy tokens vs the
+        # single-stream path (the exact-equality test contract)
+        self.kv_dtype = engine.generator.cache_dtype
         self._build_programs()
 
         # device state
         self.caches = jax.jit(
-            jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, jnp.bfloat16))
+            jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, self.kv_dtype))
         )(jnp.arange(self.b))
         self.toks = jnp.zeros((self.b,), jnp.int32)
         self.keys = jax.vmap(jax.random.key)(np.arange(self.b, dtype=np.uint32))
@@ -106,6 +111,16 @@ class ContinuousBatcher:
         self.temps = np.full(self.b, 1e-6, np.float32)
         self.greedy = np.ones(self.b, bool)
         self.dones = np.ones(self.b, bool)  # free rows stay "done"
+        self.dones_dev = jnp.ones(self.b, bool)  # device-chained EOS latches
+        self.row_gen = np.zeros(self.b, np.int64)  # bumped at every retire
+
+        # 1-deep block pipelining (dispatch block n+1 before fetching
+        # block n): hides the ~30-50 ms device->host result round trip per
+        # block on the TPU tunnel. QWEN3_CB_PIPELINE=0 forces the
+        # fetch-synchronous loop (diagnosis only).
+        import os as _os
+
+        self.pipeline = _os.environ.get("QWEN3_CB_PIPELINE") not in ("0", "")
 
         self._pending: List[_Request] = []
         self._lock = threading.Lock()
@@ -122,6 +137,7 @@ class ContinuousBatcher:
         cfg = self.cfg
         eos = self.eos_ids
         block_n = self.block
+        kv_dtype = self.kv_dtype
 
         def step_one(params, layers_list, cache, pos, tok, key, done, temp, greedy, attn_window):
             embd = dec.embed_tokens(params, tok)
@@ -144,8 +160,13 @@ class ContinuousBatcher:
         use_rows = self._int4_rows
 
         @partial(jax.jit, static_argnames=("attn_window",), donate_argnames=("caches",))
-        def decode_block(params, layers_list, caches, poss, toks, keys, dones, temps,
-                         greedys, attn_window: int):
+        def decode_block(params, layers_list, caches, poss, toks, keys, dones,
+                         host_dones, temps, greedys, attn_window: int):
+            # dones: device-chained EOS latches (exact even when the host's
+            # view is one block stale under the pipeline); host_dones:
+            # host-side retirements (budget/context exhaustion) the device
+            # latch can't know about
+            dones = dones | host_dones
             def sample_row(lg, k, tmp, g, d, t0):
                 k, sub = jax.random.split(k)
                 nxt = jnp.where(
@@ -189,7 +210,11 @@ class ContinuousBatcher:
             packed = jnp.concatenate(
                 [emitted.T, dones.astype(jnp.int32)[:, None]], axis=1
             )  # [B, block+1]
-            return caches, toks, keys, packed
+            # dones returned ON DEVICE and chained into the next dispatch:
+            # under the 1-deep block pipeline a row that hit EOS must stop
+            # in the NEXT block (exactly as in the unpipelined flow), not
+            # when the host finally fetches packed
+            return caches, toks, keys, dones, packed
 
         @partial(jax.jit, static_argnames=("t_pad",), donate_argnames=("caches",))
         def prefill_rows(params, ids, mask, audio, lengths, rows, caches, keys,
@@ -201,7 +226,7 @@ class ContinuousBatcher:
 
             def one(ids1, mask1, audio1, length, key, temperature, greedy):
                 embd = dec.splice_prompt(params, ids1, mask1, audio1)
-                cache = dec.init_cache(cfg, t_pad, jnp.bfloat16)
+                cache = dec.init_cache(cfg, t_pad, kv_dtype)
                 hidden, cache = dec.forward_prefill(params, cfg, embd, cache, length=length)
                 last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=0, keepdims=False)
                 logits = dec.lm_logits(params, last, cfg.lm_head_dim)
@@ -347,6 +372,9 @@ class ContinuousBatcher:
         )
         self.toks = self._set_rows(self.toks, rows_arr, toks)
         self.keys = self._set_rows(self.keys, rows_arr, keys)
+        self.dones_dev = self._set_rows(
+            self.dones_dev, rows_arr, jnp.zeros(len(pad_rows), bool)
+        )
         for i in range(p_real):
             row_idx = row_idxs[i]
             req = reqs[i]
@@ -380,11 +408,45 @@ class ContinuousBatcher:
         req.done_evt.set()
         row.req = None
         self.dones[row_idx] = True
+        self.row_gen[row_idx] += 1  # invalidates in-flight block lanes
         self.n_completed += 1
 
+    def _process_block(self, packed_dev, snapshot) -> None:
+        """Fetch a dispatched block's packed result and retire finished rows.
+
+        `snapshot` is [(row_idx, generation)] captured at dispatch time: a
+        row retired (and possibly re-admitted) while this block was in
+        flight has a bumped generation, and its lane in this block is junk
+        from the pre-retirement request — skip it. The device latches its
+        cache/token state harmlessly (re-admission's prefill scatter is
+        enqueued after this block, and every decode step rewrites its KV
+        slot before reading it)."""
+        packed = np.asarray(packed_dev)  # ONE fetch per block
+        for i, gen in snapshot:
+            row = self.rows[i]
+            if self.row_gen[i] != gen or row.req is None:
+                continue  # retired mid-flight; lane contents are stale
+            row.tokens.extend(int(t) for t in packed[i, :-1] if t >= 0)
+            finished = bool(packed[i, -1])
+            out_of_budget = (
+                len(row.tokens) >= self.max_new_tokens
+                or row.pos + len(row.tokens) + self.block >= self.n_ctx
+            )
+            if finished or out_of_budget:
+                self.dones[i] = True
+                self._retire(i)
+
     def _loop(self) -> None:
+        # 1-deep block pipeline: block n+1 is dispatched BEFORE block n's
+        # packed result is fetched, so the ~30-50 ms device->host result
+        # round trip rides under the next block's compute instead of
+        # stalling the whole batch (same scheme as the single-stream
+        # Generator.decode_block_dispatch pipeline).
+        inflight = None  # (packed_device, [(row, generation)])
         while not self._stop:
-            # admit pending requests into free rows, a prefill cohort at a time
+            # admit pending requests into free rows, a prefill cohort at a
+            # time. Host's free-row view lags the unfetched block by design;
+            # the admission scatter enqueues after it on the device queue.
             while True:
                 with self._lock:
                     free = [i for i, r in enumerate(self.rows) if r.req is None]
@@ -401,6 +463,10 @@ class ContinuousBatcher:
 
             active = [i for i, r in enumerate(self.rows) if r.req is not None]
             if not active:
+                if inflight is not None:
+                    self._process_block(*inflight)
+                    inflight = None
+                    continue  # a retire may have unblocked admission
                 with self._lock:
                     if not self._pending:
                         self._work.clear()
@@ -413,22 +479,35 @@ class ContinuousBatcher:
                 self.n_ctx,
                 round_up(int(max(self.poss[i] for i in active)) + self.block, 256),
             )
-            self.caches, self.toks, self.keys, packed = self._decode_block(
-                self.dec_params, self.layers_list, self.caches, jnp.asarray(self.poss),
-                self.toks, self.keys, jnp.asarray(self.dones),
-                jnp.asarray(self.temps), jnp.asarray(self.greedy), win,
+            # numpy .copy() snapshots, NEVER the live mirrors: jax dispatch
+            # is asynchronous and the host->device copy of an argument may
+            # happen only when the device thread launches the program — by
+            # which time this loop has already mutated poss/dones in place
+            # for the next iteration. That race shifted a whole block's RoPE
+            # positions by +block and flipped greedy tokens, appearing and
+            # disappearing with thread timing (an unrelated environment
+            # variable was enough to toggle it). A synchronous host memcpy
+            # before dispatch is immune.
+            self.caches, self.toks, self.keys, self.dones_dev, packed = (
+                self._decode_block(
+                    self.dec_params, self.layers_list, self.caches,
+                    jnp.asarray(self.poss.copy()), self.toks, self.keys,
+                    self.dones_dev, jnp.asarray(self.dones.copy()),
+                    jnp.asarray(self.temps.copy()),
+                    jnp.asarray(self.greedy.copy()), win,
+                )
             )
-            packed = np.asarray(packed)  # ONE fetch per block
+            if self.pipeline:
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
             for i in active:
                 self.poss[i] += self.block
-            for i in active:
-                row = self.rows[i]
-                row.tokens.extend(int(t) for t in packed[i, :-1] if t >= 0)
-                finished = bool(packed[i, -1])
-                out_of_budget = (
-                    len(row.tokens) >= self.max_new_tokens
-                    or row.pos + len(row.tokens) + self.block >= self.n_ctx
-                )
-                if finished or out_of_budget:
-                    self.dones[i] = True
-                    self._retire(i)
+            snapshot = [(i, int(self.row_gen[i])) for i in active]
+            if inflight is not None:
+                self._process_block(*inflight)
+            if self.pipeline:
+                inflight = (packed, snapshot)
+            else:
+                self._process_block(packed, snapshot)

@@ -10,7 +10,11 @@ import os
 # and overrides jax_platforms via jax.config (env vars alone don't win).
 # Tests must run on the virtual-device CPU mesh; set QWEN3_ASR_TPU_TESTS=1
 # to run on real hardware.
-os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # bit-stable torch oracles
+# Do NOT set TF_ENABLE_ONEDNN_OPTS=0 here: it also switches XLA:CPU's GEMMs
+# off oneDNN onto an Eigen path whose batched matmuls are NONDETERMINISTIC
+# under thread contention (measured: a warm ContinuousBatcher returned three
+# different greedy transcripts for identical submits while host threads were
+# busy). The torch oracles compare within tolerances and don't need it.
 # tests build throwaway checkpoints in tmp dirs — don't leak their sidecar
 # RAM mirrors into /dev/shm (params._ram_mirror)
 os.environ.setdefault("QWEN3_ASR_RAM_CACHE", "0")

@@ -28,6 +28,8 @@ def _audio(seconds, freq=440.0):
     return (np.sin(2 * np.pi * freq * t) * 0.3).astype(np.float32)
 
 
+
+
 def test_concurrent_submits_match_sequential(engine):
     cb = ContinuousBatcher(engine, max_batch=4, block=4)
     try:
@@ -49,7 +51,14 @@ def test_concurrent_submits_match_sequential(engine):
             assert r is not None
             seq = engine.asr(a, context="", language="English",
                              chunk_size_sec=2.0, temperature=0.0)
+            # exact equality holds because the batcher inherits the
+            # engine's KV dtype (f32 here): a bf16 cache once perturbed
+            # logits past the greedy margin at near-tie tokens
             assert r.text == seq.text, (r.text, seq.text)
+        # the warm batcher is deterministic: identical re-submits agree
+        again1 = cb.submit(audios[0], language="English", temperature=0.0)
+        again2 = cb.submit(audios[0], language="English", temperature=0.0)
+        assert again1.text == again2.text, (again1.text, again2.text)
     finally:
         cb.close()
 
