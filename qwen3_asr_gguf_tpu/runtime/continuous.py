@@ -128,6 +128,11 @@ class ContinuousBatcher:
         self._stop = False
         self.n_admitted = 0
         self.n_completed = 0
+        self._t_admit = 0.0   # host+dispatch time inside _admit_batch
+        self._t_dispatch = 0.0  # host time dispatching decode blocks
+        self._t_fetch = 0.0   # host time blocked on packed fetches
+        self._n_blocks = 0
+        self._n_cohorts = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -296,6 +301,12 @@ class ContinuousBatcher:
             "completed": self.n_completed,
             "active_rows": sum(1 for r in self.rows if r.req is not None),
             "queued": len(self._pending),
+            # cumulative worker-loop phase timers (seconds)
+            "t_admit": round(self._t_admit, 3),
+            "t_dispatch": round(self._t_dispatch, 3),
+            "t_fetch": round(self._t_fetch, 3),
+            "n_blocks": self._n_blocks,
+            "n_cohorts": self._n_cohorts,
         }
 
     # -- worker ------------------------------------------------------------------
@@ -421,7 +432,9 @@ class ContinuousBatcher:
         cache/token state harmlessly (re-admission's prefill scatter is
         enqueued after this block, and every decode step rewrites its KV
         slot before reading it)."""
+        _t0 = time.time()
         packed = np.asarray(packed_dev)  # ONE fetch per block
+        self._t_fetch += time.time() - _t0
         for i, gen in snapshot:
             row = self.rows[i]
             if self.row_gen[i] != gen or row.req is None:
@@ -454,12 +467,15 @@ class ContinuousBatcher:
                     if take == 0:
                         break
                     reqs = [self._pending.pop(0) for _ in range(take)]
+                _t0 = time.time()
                 try:
                     self._admit_batch(free[:take], reqs)
                 except Exception as e:
                     for req in reqs:
                         req.error = e
                         req.done_evt.set()
+                self._t_admit += time.time() - _t0
+                self._n_cohorts += 1
 
             active = [i for i, r in enumerate(self.rows) if r.req is not None]
             if not active:
@@ -488,6 +504,7 @@ class ContinuousBatcher:
             # disappearing with thread timing (an unrelated environment
             # variable was enough to toggle it). A synchronous host memcpy
             # before dispatch is immune.
+            _t0 = time.time()
             self.caches, self.toks, self.keys, self.dones_dev, packed = (
                 self._decode_block(
                     self.dec_params, self.layers_list, self.caches,
@@ -497,6 +514,8 @@ class ContinuousBatcher:
                     jnp.asarray(self.greedy.copy()), win,
                 )
             )
+            self._t_dispatch += time.time() - _t0
+            self._n_blocks += 1
             if self.pipeline:
                 try:
                     packed.copy_to_host_async()

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--prec", default="int8")
     args = ap.parse_args()
 
+    import os
+    os.environ.setdefault(
+        "QWEN3_ASR_TPU_COMPILE_CACHE", str(REPO / ".bench_cache" / "xla")
+    )
     from qwen3_asr_gguf_tpu import enable_compilation_cache
     enable_compilation_cache()
 
@@ -88,6 +92,7 @@ def main() -> None:
     sem = threading.Semaphore(args.concurrency)
     threads = []
 
+    st0 = dict(cb.stats)  # snapshot: warmup compile time stays out of deltas
     t_start = time.time()
 
     def one(i):
@@ -113,6 +118,15 @@ def main() -> None:
     print(
         f"throughput {total_audio/wall:.0f} s-audio/s | latency p50 {lat[len(lat)//2]:.2f}s "
         f"p95 {lat[int(len(lat)*0.95)]:.2f}s | completed {cb.stats['completed']}",
+        file=sys.stderr, flush=True)
+    st = cb.stats
+    print(
+        "worker (measured phase): "
+        f"admit {st['t_admit']-st0['t_admit']:.2f}s/"
+        f"{st['n_cohorts']-st0['n_cohorts']}cohorts "
+        f"dispatch {st['t_dispatch']-st0['t_dispatch']:.2f}s/"
+        f"{st['n_blocks']-st0['n_blocks']}blocks "
+        f"fetch-wait {st['t_fetch']-st0['t_fetch']:.2f}s",
         file=sys.stderr, flush=True)
     import json
     print(json.dumps({
