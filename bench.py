@@ -102,6 +102,20 @@ def main() -> None:
                     shutil.copy2(f, dst)
                 except OSError:
                     break
+    # native codec library: a fresh machine starts without the gitignored
+    # .so, and the NumPy fallback turns the one-time checkpoint/sidecar
+    # quantization from ~1 min (C++) into ~20+ min on a 1-core host. The
+    # build itself is ~10 s — always worth it here.
+    from qwen3_asr_gguf_tpu import native as _native
+
+    if not _native.available():
+        try:
+            t0 = time.time()
+            _native.build()
+            log(f"native codec library built in {time.time()-t0:.0f}s")
+        except Exception as e:  # NumPy fallback still works, just slower
+            log(f"native build skipped ({e!r}); using NumPy codecs")
+
     import logging
 
     import jax

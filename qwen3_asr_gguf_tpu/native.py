@@ -88,7 +88,12 @@ def available() -> bool:
 
 
 def build(verbose: bool = True) -> Path:
-    """Build libqwen3asr_host.so with cmake+ninja (g++ fallback)."""
+    """Build libqwen3asr_host.so with cmake+ninja (g++ fallback).
+
+    Resets the load cache so an `available()` that already failed in this
+    process (e.g. a fresh machine before the first build) retries."""
+    global _load_attempted
+    _load_attempted = False
     build_dir = _NATIVE_DIR / "build"
     build_dir.mkdir(exist_ok=True)
     try:
