@@ -108,10 +108,12 @@ def main() -> None:
     # build itself is ~10 s — always worth it here.
     from qwen3_asr_gguf_tpu import native as _native
 
-    if not _native.available():
+    if not os.environ.get("QWEN3_ASR_TPU_NO_NATIVE") and not _native.available():
         try:
             t0 = time.time()
-            _native.build()
+            # verbose=False: cmake/ninja progress on stdout would break the
+            # one-JSON-line stdout contract the driver parses
+            _native.build(verbose=False)
             log(f"native codec library built in {time.time()-t0:.0f}s")
         except Exception as e:  # NumPy fallback still works, just slower
             log(f"native build skipped ({e!r}); using NumPy codecs")
@@ -209,12 +211,18 @@ def main() -> None:
         wall = time.time() - t0
         results.append((wall, res.performance))
 
-    wall, perf = min(results, key=lambda r: r[0])
+    # headline = MEDIAN of 5 (VERDICT r3 weak #5: best-of-5 met the 0.01
+    # target only on the luckiest run); min is logged alongside for context
+    ordered = sorted(results, key=lambda r: r[0])
+    wall, perf = ordered[len(ordered) // 2]
+    wall_min = ordered[0][0]
     rtf = wall / duration
     pre_tps = perf["prefill_tokens"] / perf["prefill_time"] if perf["prefill_time"] else 0
     gen_tps = perf["decode_tokens"] / perf["decode_time"] if perf["decode_time"] else 0
     log(
-        f"wall {wall:.2f}s audio {duration:.2f}s | prefill {perf['prefill_tokens']}tok "
+        f"wall median {wall:.2f}s (min {wall_min:.2f}s, rtf_min "
+        f"{wall_min / duration:.5f}) audio {duration:.2f}s | prefill "
+        f"{perf['prefill_tokens']}tok "
         f"@ {pre_tps:.0f}tok/s | generate {perf['decode_tokens']}tok @ {gen_tps:.0f}tok/s "
         f"| encode wait {perf['wait_time']:.2f}s | prefill {perf['prefill_time']:.2f}s "
         f"decode {perf['decode_time']:.2f}s align "

@@ -90,10 +90,10 @@ def available() -> bool:
 def build(verbose: bool = True) -> Path:
     """Build libqwen3asr_host.so with cmake+ninja (g++ fallback).
 
-    Resets the load cache so an `available()` that already failed in this
-    process (e.g. a fresh machine before the first build) retries."""
+    On success, resets the load cache so an `available()` that already failed
+    in this process (e.g. a fresh machine before the first build) retries; a
+    failed build leaves the cached negative result intact."""
     global _load_attempted
-    _load_attempted = False
     build_dir = _NATIVE_DIR / "build"
     build_dir.mkdir(exist_ok=True)
     try:
@@ -110,7 +110,9 @@ def build(verbose: bool = True) -> Path:
              str(_NATIVE_DIR / "src" / "quants.cpp"), "-o", str(out)],
             check=True,
         )
+        _load_attempted = False
         return out
+    _load_attempted = False
     return build_dir / "libqwen3asr_host.so"
 
 

@@ -72,19 +72,21 @@ def main() -> None:
         for i in range(8)
     ]
 
-    # warmup: compile prefill cohort shapes (single + full cohort) and the
-    # decode window buckets
+    # warmup: compile every staging-prefill cohort width plus the decode
+    # window buckets. Submissions are batched per width so the adaptive
+    # cohort sizing deterministically hits each compiled shape.
     t0 = time.time()
-    cb.submit(audios[0], language="Chinese", temperature=0.0, timeout=2400.0)
-    warm_threads = [
-        threading.Thread(target=cb.submit, args=(audios[i % len(audios)],),
-                         kwargs=dict(language="Chinese", temperature=0.0, timeout=2400.0))
-        for i in range(cb.PREFILL_COHORT)
-    ]
-    for th in warm_threads:
-        th.start()
-    for th in warm_threads:
-        th.join()
+    for width in getattr(cb, "cohort_sizes", (1, cb.PREFILL_COHORT)):
+        warm_threads = [
+            threading.Thread(target=cb.submit, args=(audios[i % len(audios)],),
+                             kwargs=dict(language="Chinese", temperature=0.0,
+                                         timeout=2400.0))
+            for i in range(width)
+        ]
+        for th in warm_threads:
+            th.start()
+        for th in warm_threads:
+            th.join()
     print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     latencies: list = []
@@ -121,9 +123,10 @@ def main() -> None:
         file=sys.stderr, flush=True)
     st = cb.stats
     print(
-        "worker (measured phase): "
-        f"admit {st['t_admit']-st0['t_admit']:.2f}s/"
+        "phase timers: "
+        f"admit(overlapped) {st['t_admit']-st0['t_admit']:.2f}s/"
         f"{st['n_cohorts']-st0['n_cohorts']}cohorts "
+        f"scatter {st.get('t_scatter', 0)-st0.get('t_scatter', 0):.2f}s "
         f"dispatch {st['t_dispatch']-st0['t_dispatch']:.2f}s/"
         f"{st['n_blocks']-st0['n_blocks']}blocks "
         f"fetch-wait {st['t_fetch']-st0['t_fetch']:.2f}s",
