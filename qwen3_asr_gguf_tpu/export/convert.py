@@ -237,7 +237,10 @@ def convert_hf_checkpoint(
         encoder_ffn_dim=audio_raw.get("encoder_ffn_dim", 4096),
         downsample_hidden_size=audio_raw.get("downsample_hidden_size", 480),
         output_dim=audio_raw.get("output_dim", 2048),
-        n_window=audio_raw.get("n_window", 100),
+        # HF checkpoints ship n_window=50 meaning 2*n_window-frame conv
+        # chunks (modeling_qwen3_asr.py:682-694); our n_window IS the conv
+        # chunk length, so the import doubles it (50 -> 100)
+        n_window=2 * audio_raw.get("n_window", 50),
         n_window_infer=audio_raw.get("n_window_infer", 400),
         conv_chunksize=audio_raw.get("conv_chunksize", 500),
         max_source_positions=audio_raw.get("max_source_positions", 1500),

@@ -28,8 +28,13 @@ class AudioEncoderConfig:
     encoder_ffn_dim: int = 4096
     downsample_hidden_size: int = 480
     output_dim: int = 2048  # text decoder hidden size
-    n_window: int = 100  # mel frames per conv chunk (1 s)
-    n_window_infer: int = 400  # attention window in mel frames (official mode)
+    # mel frames per conv chunk (1 s). Equals the REFERENCE config's
+    # 2*n_window: shipped checkpoints set n_window=50 and convolve
+    # 2*n_window-frame chunks (modeling_qwen3_asr.py:682-694); the %100
+    # length formula (:309-317) only works for 100-frame chunks.
+    # convert_hf_checkpoint doubles the HF value on import.
+    n_window: int = 100
+    n_window_infer: int = 400  # attention window in mel frames (400 = 52 tokens)
     conv_chunksize: int = 500
     max_source_positions: int = 1500
     activation: str = "gelu"

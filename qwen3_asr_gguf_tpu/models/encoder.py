@@ -182,7 +182,13 @@ def backend_transformer(
     t = hidden.shape[0]
     key_mask = None
     if cfg.attention_mode == "windowed":
-        win = cfg.tokens_per_window * (cfg.n_window_infer // (cfg.n_window * 2))
+        # window = n_window_infer mel frames of conv chunks. NOTE our
+        # n_window (conv-chunk frames, 100) equals the reference's
+        # 2*n_window (its configs ship n_window=50; the modeling's
+        # hard-coded %100 length formula only works for 100-frame conv
+        # chunks): reference window_aftercnn = 13 * (n_window_infer //
+        # (ref_n_window*2)) = 52 tokens (modeling_qwen3_asr.py:719-726)
+        win = cfg.tokens_per_window * (cfg.n_window_infer // cfg.n_window)
         pad = (-t) % win
         x = jnp.pad(hidden, ((0, pad), (0, 0)))
         x = x.reshape(-1, win, hidden.shape[1])

@@ -117,7 +117,7 @@ def test_windowed_attention_mode(rng):
         attention_mode="windowed",
     )
     params = enc.init_params(cfg, jax.random.key(2))
-    win = cfg.tokens_per_window * (cfg.n_window_infer // (cfg.n_window * 2))  # 26
+    win = cfg.tokens_per_window * (cfg.n_window_infer // cfg.n_window)  # 52
     hidden = rng.standard_normal((2 * win, cfg.d_model)).astype(np.float32)
 
     full = np.asarray(enc.backend_transformer(params, cfg, jnp.asarray(hidden)))
@@ -139,7 +139,7 @@ def test_windowed_tail_padding_masked(rng):
         attention_mode="windowed",
     )
     params = enc.init_params(cfg, jax.random.key(3))
-    win = cfg.tokens_per_window * (cfg.n_window_infer // (cfg.n_window * 2))  # 26
+    win = cfg.tokens_per_window * (cfg.n_window_infer // cfg.n_window)  # 52
     tail = 7
     hidden = rng.standard_normal((win + tail, cfg.d_model)).astype(np.float32)
 
