@@ -151,6 +151,7 @@ class ContinuousBatcher:
 
         self._pending: List[_Request] = []
         self._ready: List[_Cohort] = []
+        self._n_staging = 0  # cohorts mid-staging on the admission thread
         self._lock = threading.Lock()
         self._work = threading.Event()   # decode worker wake
         self._admit_work = threading.Event()  # admission thread wake
@@ -162,6 +163,8 @@ class ContinuousBatcher:
         self.n_admitted = 0
         self.n_completed = 0
         self._t_admit = 0.0   # admission-thread host+dispatch time
+        self._t_admit_enc = 0.0     # ... encode-dispatch share
+        self._t_admit_prefill = 0.0  # ... prefill-dispatch share
         self._t_scatter = 0.0  # worker host time scattering staged cohorts
         self._t_dispatch = 0.0  # host time dispatching decode blocks
         self._t_fetch = 0.0   # host time blocked on packed fetches
@@ -350,6 +353,8 @@ class ContinuousBatcher:
             # admission thread (overlapped), t_scatter/t_dispatch/t_fetch on
             # the decode worker (critical path)
             "t_admit": round(self._t_admit, 3),
+            "t_admit_enc": round(self._t_admit_enc, 3),
+            "t_admit_prefill": round(self._t_admit_prefill, 3),
             "t_scatter": round(self._t_scatter, 3),
             "t_dispatch": round(self._t_dispatch, 3),
             "t_fetch": round(self._t_fetch, 3),
@@ -389,6 +394,7 @@ class ContinuousBatcher:
         target_p = next(p for p in self.cohort_sizes if p >= p_real)
         pad = target_p - p_real
 
+        _t_enc = time.time()
         embds, ids_list, mask_list, lens = [], [], [], []
         for i in range(target_p):
             req, ids, mask = kept[min(i, p_real - 1)]
@@ -396,6 +402,7 @@ class ContinuousBatcher:
             ids_list.append(ids)
             mask_list.append(mask)
             lens.append(len(ids))
+        self._t_admit_enc += time.time() - _t_enc
 
         t_pad = min(round_up(max(lens), 128), self.n_ctx)
         a_pad = max(int(e.shape[0]) for e in embds)
@@ -416,11 +423,13 @@ class ContinuousBatcher:
         keys = jax.random.split(
             jax.random.key(int(np.random.randint(0, 2**31 - 1))), target_p
         )
+        _t_pf = time.time()
         staged, toks, keys = self._prefill_stage(
             self.params, jnp.asarray(ids_p), jnp.asarray(mask_p), audio,
             jnp.asarray(lens, dtype=jnp.int32), keys,
             jnp.asarray(temps), jnp.asarray(greedys), t_pad,
         )
+        self._t_admit_prefill += time.time() - _t_pf
         return _Cohort(staged=staged, toks=toks, keys=keys, reqs=reqs,
                        lens=lens[:p_real], t_pad=t_pad)
 
@@ -437,6 +446,8 @@ class ContinuousBatcher:
                 self._admit_work.wait(timeout=0.5)
                 self._admit_work.clear()
                 continue
+            with self._lock:
+                self._n_staging += 1
             self._stage_slots.acquire()
             if self._stop:
                 return
@@ -451,11 +462,13 @@ class ContinuousBatcher:
                         req.done_evt.set()
             self._t_admit += time.time() - _t0
             self._n_cohorts += 1
+            with self._lock:
+                self._n_staging -= 1
+                if cohort is not None:
+                    self._ready.append(cohort)
             if cohort is None:
                 self._stage_slots.release()
             else:
-                with self._lock:
-                    self._ready.append(cohort)
                 self._work.set()
 
     def _drain_ready(self) -> None:
@@ -576,6 +589,22 @@ class ContinuousBatcher:
                         self._work.clear()
                 self._work.wait(timeout=0.5)
                 continue
+
+            # backfill gate: a decode block costs the same device time with
+            # 3 active rows as with all B — when most rows are empty and
+            # admissions are in flight, give staging a short window to land
+            # instead of burning a mostly-empty block (matters at stream
+            # start and after bursts drain; steady state skips it)
+            if inflight is None and len(active) <= self.b // 2:
+                t_gate = time.time()
+                while len(active) <= self.b // 2 and time.time() - t_gate < 0.08:
+                    with self._lock:
+                        inflow = bool(self._pending or self._ready) or self._n_staging > 0
+                    if not inflow:
+                        break
+                    self._work.wait(timeout=0.004)
+                    self._drain_ready()
+                    active = [i for i, r in enumerate(self.rows) if r.req is not None]
 
             # bucket the attention window to the deepest active row (256-slot
             # steps -> at most n_ctx/256 compiled variants)

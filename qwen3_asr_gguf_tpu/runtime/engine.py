@@ -968,7 +968,6 @@ class QwenASREngine:
         )
         inflight = None  # dispatched-but-uncollected chunk i
         spec0_evt = None  # chunk-0 spec-align dispatch gate (device order)
-        rebase_done = False  # chunk i's rebase already ran during spec dispatch
 
         def full_prompt(i: int, audio_feature, lang, detect):
             """(ids, mask, combined_embd) for a from-scratch chunk prompt;
@@ -1039,20 +1038,34 @@ class QwenASREngine:
                         carried, start + n_valid_cur + len(suffix_head)
                     )
                     suffix_tokens = suffix_head + kept
-                    if i >= 2 and not rebase_done:
-                        # move last chunk's audio KV [start, start+A) down to
-                        # the memory slots [n_pre, n_pre+A), re-basing RoPE
-                        kv_cache = self.generator.rebase_kv(
-                            kv_cache, src=start, dst=n_pre, block=a_full
+                    if i >= 2:
+                        # EXACT memory reuse: only the header KV [0, n_pre)
+                        # is carried (constant across chunks); the memory
+                        # audio re-prefills at its new positions together
+                        # with the current chunk, reproducing the
+                        # reference's recompute semantics (asr.py:269-393)
+                        # bit-for-bit. (A RoPE-rebased KV move was ~20 ms
+                        # cheaper per chunk but approximate: the carried
+                        # audio's deep-layer KV had attended the OLDER
+                        # memory, which the fresh prompt does not contain.)
+                        ids, audio_mask = self._suffix_prompt_ids(
+                            a_full + n_valid_cur, suffix_tokens
                         )
-                    ids, audio_mask = self._suffix_prompt_ids(n_valid_cur, suffix_tokens)
-                    embd_in, reuse = audio_feature, (kv_cache, start)
+                        embd_in = jnp.concatenate(
+                            [memory[-1][0], audio_feature], axis=0
+                        )
+                        reuse = (kv_cache, n_pre)
+                    else:
+                        # chunk 1: [header | chunk-0 audio] KV is exact as-is
+                        ids, audio_mask = self._suffix_prompt_ids(
+                            n_valid_cur, suffix_tokens
+                        )
+                        embd_in, reuse = audio_feature, (kv_cache, start)
                 else:
                     ids, audio_mask, embd_in = full_prompt(
                         i, audio_feature, cur["lang"], detecting
                     )
                     reuse = None
-                rebase_done = False
                 mark(f"c{i}.prompt")
                 if fast_ok:
                     pend = self._dispatch_chunk(
@@ -1106,15 +1119,25 @@ class QwenASREngine:
                         spec0_evt = None
                     cache_next = pend["state"].cache
                     if i + 1 >= 2:
-                        cache_next = self.generator.rebase_kv(
-                            cache_next, src=start, dst=n_pre, block=a_full
+                        # exact memory reuse (see the use_reuse branch):
+                        # header-only KV carry; chunk i's audio re-prefills
+                        # as chunk i+1's memory together with its audio
+                        spec_next = self._dispatch_chunk_spec(
+                            template, pend["packed"][:-2],
+                            jnp.concatenate(
+                                [audio_feature, wait_enc(i + 1)], axis=0
+                            ),
+                            n_audio=a_full + n_valid_next, start=n_pre,
+                            cache=cache_next, temperature=temperature,
+                            rollback=rollback_num, max_keep=max_keep,
                         )
-                    spec_next = self._dispatch_chunk_spec(
-                        template, pend["packed"][:-2], wait_enc(i + 1),
-                        n_audio=n_valid_next, start=start, cache=cache_next,
-                        temperature=temperature, rollback=rollback_num,
-                        max_keep=max_keep,
-                    )
+                    else:
+                        spec_next = self._dispatch_chunk_spec(
+                            template, pend["packed"][:-2], wait_enc(i + 1),
+                            n_audio=n_valid_next, start=start, cache=cache_next,
+                            temperature=temperature, rollback=rollback_num,
+                            max_keep=max_keep,
+                        )
                     spec_keep = max_keep
                     mark(f"c{i}.spec_next")
 
@@ -1123,10 +1146,9 @@ class QwenASREngine:
                 mark(f"c{i}.collect(pre={res.t_prefill:.3f},gen={res.t_generate:.3f})")
                 if res.is_aborted:
                     # repetition circuit breaker: discard the speculative
-                    # work (a rebase for chunk i+1 may have clobbered the
-                    # memory-audio KV slots, so prefix reuse is off) and
-                    # re-decode chunk i from the full prompt at escalated
-                    # temperature (reference retry semantics, asr.py:193-209)
+                    # work and re-decode chunk i from the full prompt at
+                    # escalated temperature (reference retry semantics,
+                    # asr.py:193-209)
                     spec_next = None
                     # the spec align (if any) saw the ABORTED token stream;
                     # the retry's text differs, so it must not be collected
@@ -1141,7 +1163,6 @@ class QwenASREngine:
                         ids_f, mask_f, embd_f, rollback_num, is_last,
                         temperature + 0.3,
                     )
-                    rebase_done = False
                     mark(f"c{i}.retry(gen={res.t_generate:.3f})")
                 else:
                     n_keep_host = len(res.stable_tokens) if not is_last else 0
@@ -1151,13 +1172,11 @@ class QwenASREngine:
                         kv_cache = None
                     elif spec_next is not None:
                         # accounting mismatch: chunk i+1's spec prompt kept a
-                        # clipped tail; its cache PREFIX (header + rebased
-                        # audio) is still valid for the normal redo
+                        # clipped tail; its cache PREFIX (the constant
+                        # header) is still valid for the normal redo
                         kv_cache = spec_next["state"].cache
-                        rebase_done = i + 1 >= 2
                     else:
                         kv_cache = pend["state"].cache
-                        rebase_done = False
 
             if not res.is_aborted and i in spec_aligns:
                 # the align worker validates these against the speculative

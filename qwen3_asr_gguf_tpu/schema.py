@@ -96,9 +96,12 @@ class ASREngineConfig:
     max_new_tokens: int = 512
     decode_block: int = 64  # device-resident tokens per host round-trip
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
-    # keep [header | memory-audio] KV in the cache across chunks instead of
-    # re-prefilling it (exact for chunk 2; later chunks reuse KV computed
-    # with the prior chunk's context — a cache-reuse approximation)
+    # keep the constant prompt prefix's KV in the cache across chunks
+    # instead of re-prefilling it. EXACT at every chunk: chunk 1 reuses
+    # [header | chunk-0 audio] (identical context), chunks >= 2 reuse the
+    # header only and re-prefill the memory audio at its new positions —
+    # transcripts are bit-identical to kv_prefix_reuse=False (reference
+    # recompute semantics, asr.py:269-393), just with fewer prefill tokens
     kv_prefix_reuse: bool = True
     # device-side chunk chaining: chunk i+1's prompt tail assembles on
     # device from chunk i's emitted tokens, overlapping the per-chunk

@@ -221,6 +221,41 @@ def test_multi_chunk_memory_matches_reference(oracle_setup):
     assert res.text == expected, (res.text, expected)
 
 
+def test_three_chunk_exact_memory_reuse_matches_reference(oracle_setup):
+    """Three chunks: chunk 2's prompt drops chunk 0 from the memory deque
+    (memory_num=1) and carries [chunk-1 audio | chunk-1 stable tokens].
+    With exact header-only KV reuse this must equal the reference recompute
+    — the case the old RoPE-rebase approximation got wrong."""
+    torch, model, engine = oracle_setup
+    audio = _audio(3 * CHUNK_SEC, seed=23)
+    n = int(SR * CHUNK_SEC)
+    chunks = [audio[i * n : (i + 1) * n] for i in range(3)]
+    mels = [_mel(engine, c) for c in chunks]
+    na = [engine.encoder.valid_tokens(len(c)) for c in chunks]
+
+    toks0 = _oracle_generate(
+        torch, model, [mels[0]], _prompt_ids(engine, na[0], [], "English"),
+        MAX_NEW,
+    )
+    stable0 = toks0[: max(0, len(toks0) - ROLLBACK)]
+    toks1 = _oracle_generate(
+        torch, model, [mels[0], mels[1]],
+        _prompt_ids(engine, na[0] + na[1], stable0, "English"), MAX_NEW,
+    )
+    stable1 = toks1[: max(0, len(toks1) - ROLLBACK)]
+    toks2 = _oracle_generate(
+        torch, model, [mels[1], mels[2]],
+        _prompt_ids(engine, na[1] + na[2], stable1, "English"), MAX_NEW,
+    )
+    expected = (engine.model.decode(stable0) + engine.model.decode(stable1)
+                + engine.model.decode(toks2))
+
+    res = engine.asr(audio, context="", language="English",
+                     chunk_size_sec=CHUNK_SEC, memory_chunks=1,
+                     temperature=0.0, rollback_num=ROLLBACK)
+    assert res.text == expected, (res.text, expected)
+
+
 def test_multi_chunk_no_prefix_reuse_matches_reference(oracle_setup):
     """Same two-chunk parity with kv_prefix_reuse disabled: the from-scratch
     full-prompt path must compose identically (reference recomputes every
