@@ -140,16 +140,22 @@ class ASRServer:
             audio = load_audio(tmp_path)
             duration = len(audio) / 16_000
             t0 = time.time()
-            # short json/text requests coalesce into vmapped batches; formats
-            # needing alignment and long audio take the sequential engine
+            # continuous batching serves every format concurrently: long
+            # audio chunks through successive rows and srt/vtt/verbose_json
+            # align on the batcher's align pool (the reference server
+            # serialized all of this on one engine, serve_openai_gguf.py:249;
+            # the micro batcher still handles short json/text only)
+            wants_ts = response_format in ("srt", "vtt", "verbose_json")
             if (
                 self.batcher is not None
-                and response_format in ("json", "text")
                 and self.batcher.eligible(audio)
+                and (not wants_ts
+                     or getattr(self.batcher, "supports_timestamps", False))
             ):
+                kwargs = {"timestamps": True} if wants_ts else {}
                 result = self.batcher.submit(
                     audio, context=prompt or "", language=language,
-                    temperature=temperature,
+                    temperature=temperature, **kwargs,
                 )
             else:
                 with self.lock:

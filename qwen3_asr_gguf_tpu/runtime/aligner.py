@@ -19,6 +19,9 @@ import time
 import jax
 import numpy as np
 
+import functools
+import threading
+
 from ..schema import AlignerConfig, ForcedAlignItem, ForcedAlignResult
 from ..text import align_text
 from ..utils.languages import normalize_language_name, validate_language
@@ -30,8 +33,23 @@ TIMESTAMP_CLASSES = 4000  # argmax window (reference aligner.py:322)
 STEP_MS = 80.0
 
 
+def _serialized(fn):
+    """Serialize public entry points: the engine's align worker and the
+    ContinuousBatcher's align pool may call one shared aligner concurrently,
+    and `_pre`/spec state is a single slot (reentrant: align() may consume
+    a pre_encode() result it made itself)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutex:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class QwenForcedAligner:
     def __init__(self, config: AlignerConfig):
+        self._mutex = threading.RLock()
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
@@ -132,6 +150,7 @@ class QwenForcedAligner:
             pass
         return tab
 
+    @_serialized
     def spec_align_start(
         self, toks_dev, key, language: str, drop_last: int = 0
     ) -> None:
@@ -163,6 +182,7 @@ class QwenForcedAligner:
         if out is not None:
             self._spec = {"key": key, "out": out, "lang": lang, "t0": time.time()}
 
+    @_serialized
     def spec_align_collect(
         self,
         stable_tokens: list,
@@ -226,6 +246,7 @@ class QwenForcedAligner:
             },
         )
 
+    @_serialized
     def pre_encode(self, audio: np.ndarray, key) -> None:
         """Dispatch the encoder for an upcoming align window ahead of its
         text (the window's audio span is known as soon as the PREVIOUS
@@ -253,6 +274,7 @@ class QwenForcedAligner:
             self._ko_scores = align_text.korean_scores_from_vocab(words)
         return self._ko_scores
 
+    @_serialized
     def align(
         self,
         audio: np.ndarray,

@@ -50,10 +50,21 @@ class _Request:
     context: str
     language: Optional[str]
     temperature: float
+    timestamps: bool = False  # run forced alignment after transcription
+    rollback: int = 5  # engine rollback_num (non-final chunk trim)
     done_evt: threading.Event = field(default_factory=threading.Event)
     result: Optional[TranscribeResult] = None
     error: Optional[Exception] = None
     submitted_at: float = field(default_factory=time.time)
+    # long-audio chunk state (engine chunk loop semantics, asr.py:269-404):
+    # each chunk runs as its own row session; memory carries the previous
+    # chunk's encoder feature + stable tokens into the next chunk's prompt
+    chunk_idx: int = 0
+    n_chunks: int = 1
+    chunk_texts: List[str] = field(default_factory=list)
+    mem_feature: Optional[object] = None  # [a_full, D] device array
+    mem_tokens: List[int] = field(default_factory=list)
+    cur_feature: Optional[object] = None  # this chunk's feature (next memory)
 
 
 @dataclass
@@ -152,6 +163,7 @@ class ContinuousBatcher:
         self._pending: List[_Request] = []
         self._ready: List[_Cohort] = []
         self._n_staging = 0  # cohorts mid-staging on the admission thread
+        self._align_pool = None  # lazy 1-thread pool for timestamped requests
         self._lock = threading.Lock()
         self._work = threading.Event()   # decode worker wake
         self._admit_work = threading.Event()  # admission thread wake
@@ -311,7 +323,15 @@ class ContinuousBatcher:
     # -- public API ------------------------------------------------------------
 
     def eligible(self, audio: np.ndarray) -> bool:
-        return len(audio) <= self.chunk_samples
+        """Long audio chunks through successive row sessions (engine chunk
+        semantics); the only cap is the reference's 1200 s input limit
+        (qwen_asr/inference/utils.py:33-36)."""
+        return len(audio) <= 1200 * SAMPLE_RATE
+
+    @property
+    def supports_timestamps(self) -> bool:
+        eng = self.engine
+        return eng._aligner is not None or eng._aligner_thread is not None
 
     def submit(
         self,
@@ -321,9 +341,14 @@ class ContinuousBatcher:
         language: Optional[str] = None,
         temperature: float = 0.0,
         timeout: float = 600.0,
+        timestamps: bool = False,
+        rollback: int = 5,
     ) -> TranscribeResult:
+        n_chunks = max(1, int(np.ceil(len(audio) / self.chunk_samples)))
         req = _Request(audio=audio, context=context, language=language,
-                       temperature=temperature)
+                       temperature=temperature, n_chunks=n_chunks,
+                       timestamps=timestamps and self.supports_timestamps,
+                       rollback=rollback)
         with self._lock:
             self._pending.append(req)
         self._admit_work.set()
@@ -341,6 +366,8 @@ class ContinuousBatcher:
         self._stage_slots.release()  # unblock an admission thread in acquire
         self._thread.join(timeout=5.0)
         self._admit_thread.join(timeout=5.0)
+        if self._align_pool is not None:
+            self._align_pool.shutdown(wait=True)
 
     @property
     def stats(self) -> dict:
@@ -364,45 +391,89 @@ class ContinuousBatcher:
 
     # -- worker ------------------------------------------------------------------
 
-    def _stage_cohort(self, reqs: list) -> Optional[_Cohort]:
-        """Stage up to max(COHORT_SIZES) requests with ONE batched prefill
-        program dispatched into staging buffers (runs on the admission
-        thread — zero decode-worker stall). The cohort pads to the smallest
-        compiled width with duplicates of the first request (their lanes are
-        never scattered) to bound compiled shapes.
+    def _build_admission(self, req: _Request):
+        """(ids, mask, embd_dev) for the request's CURRENT chunk. Chunk 0 is
+        the plain single-prompt; later chunks carry the previous chunk's
+        audio feature + stable tokens (engine full_prompt semantics,
+        asr.py:269-393). Raises ValueError on an n_ctx overflow.
 
         Audio encodes at its own mel bucket (5 s steps), not the full 40 s
         chunk shape — a 10 s request was paying 4x encoder compute."""
         eng = self.engine
-        # reject oversize prompts individually BEFORE forming the cohort: one
-        # request longer than n_ctx must not fail its cohort peers
-        kept = []
-        for req in reqs:
-            n_valid = eng.encoder.valid_tokens(len(req.audio))
+        s = req.chunk_idx * self.chunk_samples
+        chunk = req.audio[s : s + self.chunk_samples]
+        from ..audio.mel import HOP
+
+        if len(chunk) < HOP:  # sub-hop tail chunk: pad to one mel frame
+            chunk = np.pad(np.asarray(chunk), (0, HOP - len(chunk)))
+        n_valid = eng.encoder.valid_tokens(len(chunk))
+        cur = eng.encoder.encode_async(chunk)
+        if req.chunk_idx + 1 < req.n_chunks:
+            req.cur_feature = cur[:n_valid]  # next chunk's memory (device)
+        if req.chunk_idx == 0:
             ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
             if len(ids) > self.n_ctx:
-                req.error = ValueError(
+                raise ValueError(
                     f"prompt of {len(ids)} tokens exceeds n_ctx={self.n_ctx}"
                 )
+            return ids, mask, cur
+        hdr, template = eng._prompt_parts("", req.context, req.language, False)
+        a_mem = int(req.mem_feature.shape[0])
+        n_audio = a_mem + n_valid
+        # drop the OLDEST carried tokens on overflow (engine
+        # trim_prefix_tokens semantics)
+        budget = self.n_ctx - min(self.max_new_tokens, 256)
+        n_fixed = len(hdr) + n_audio + len(template)
+        overflow = n_fixed + len(req.mem_tokens) - budget
+        kept_toks = req.mem_tokens[max(overflow, 0):] if overflow < len(req.mem_tokens) else []
+        suffix = template + kept_toks
+        total = len(hdr) + n_audio + len(suffix)
+        if total > self.n_ctx:
+            raise ValueError(
+                f"chunk prompt of {total} tokens exceeds n_ctx={self.n_ctx} "
+                f"(40 s chunks with memory need n_ctx >= 2048)"
+            )
+        ids = np.zeros(total, dtype=np.int32)
+        ids[: len(hdr)] = hdr
+        ids[len(hdr) + n_audio :] = suffix
+        mask = np.zeros(total, dtype=bool)
+        mask[len(hdr) : len(hdr) + n_audio] = True
+        embd = jnp.concatenate([req.mem_feature, cur], axis=0)
+        return ids, mask, embd
+
+    def _stage_cohort(self, reqs: list) -> Optional[_Cohort]:
+        """Stage up to max(COHORT_SIZES) requests with ONE batched prefill
+        program dispatched into staging buffers (runs on the admission
+        thread — zero decode-worker stall). The cohort pads to the smallest
+        compiled width with duplicates of the last request's arrays (their
+        lanes are never scattered, and reusing the arrays avoids padding
+        re-encodes) to bound compiled shapes."""
+        # reject oversize prompts individually BEFORE forming the cohort: one
+        # request longer than n_ctx must not fail its cohort peers
+        _t_enc = time.time()
+        kept = []
+        for req in reqs:
+            try:
+                ids, mask, embd = self._build_admission(req)
+            except ValueError as e:
+                req.error = e
                 req.done_evt.set()
                 continue
-            kept.append((req, ids, mask))
+            kept.append((req, ids, mask, embd))
+        self._t_admit_enc += time.time() - _t_enc
         if not kept:
             return None
         reqs = [k[0] for k in kept]
         p_real = len(reqs)
         target_p = next(p for p in self.cohort_sizes if p >= p_real)
-        pad = target_p - p_real
 
-        _t_enc = time.time()
         embds, ids_list, mask_list, lens = [], [], [], []
         for i in range(target_p):
-            req, ids, mask = kept[min(i, p_real - 1)]
-            embds.append(eng.encoder.encode_async(req.audio))
+            _, ids, mask, embd = kept[min(i, p_real - 1)]
+            embds.append(embd)
             ids_list.append(ids)
             mask_list.append(mask)
             lens.append(len(ids))
-        self._t_admit_enc += time.time() - _t_enc
 
         t_pad = min(round_up(max(lens), 128), self.n_ctx)
         a_pad = max(int(e.shape[0]) for e in embds)
@@ -416,6 +487,7 @@ class ContinuousBatcher:
             for e in embds
         ])
 
+        pad = target_p - p_real
         greedys = np.asarray([r.temperature <= 0.0 for r in reqs] + [True] * pad)
         temps = np.asarray(
             [max(r.temperature, 1e-6) for r in reqs] + [1e-6] * pad, np.float32
@@ -523,20 +595,93 @@ class ContinuousBatcher:
         eng = self.engine
         eos = set(int(e) for e in np.asarray(self.eos_ids))
         toks = [t for t in row.tokens[: self.max_new_tokens] if t not in eos]
-        text = eng.model.decode(toks)
-        req.result = TranscribeResult(
-            text=text,
-            performance={
-                "batched": "continuous",
-                "n_generate": len(row.tokens),
-                "latency_s": time.time() - req.submitted_at,
-            },
-        )
-        req.done_evt.set()
         row.req = None
         self.dones[row_idx] = True
         self.row_gen[row_idx] += 1  # invalidates in-flight block lanes
+
+        if req.chunk_idx + 1 < req.n_chunks:
+            # non-final chunk: trim the rollback tail from display AND the
+            # carried prefix (engine display_queue semantics, asr.py:148-154)
+            # and re-enter the admission queue as the next chunk, carrying
+            # this chunk's audio feature + stable tokens
+            stable = toks[: max(0, len(toks) - req.rollback)]
+            req.chunk_texts.append(eng.model.decode(stable))
+            req.mem_tokens = stable
+            req.mem_feature = req.cur_feature
+            req.cur_feature = None
+            req.chunk_idx += 1
+            with self._lock:
+                self._pending.append(req)
+            self._admit_work.set()
+            return
+
+        req.chunk_texts.append(eng.model.decode(toks))
         self.n_completed += 1
+        text = "".join(req.chunk_texts)
+        perf = {
+            "batched": "continuous",
+            "n_generate": len(row.tokens),
+            "n_chunks": req.n_chunks,
+            "latency_s": time.time() - req.submitted_at,
+        }
+        if req.timestamps:
+            # alignment runs on the align pool (prefill-only NAR aligner —
+            # its device work rides the same queue, overlapped with decode);
+            # done_evt fires when the timestamps land
+            self._align_pool_submit(req, text, perf)
+        else:
+            req.result = TranscribeResult(text=text, performance=perf)
+            req.done_evt.set()
+
+    def _align_pool_submit(self, req: _Request, text: str, perf: dict) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._align_pool is None:
+            self._align_pool = ThreadPoolExecutor(max_workers=1)
+        self._align_pool.submit(self._align_request, req, text, perf)
+
+    def _align_request(self, req: _Request, text: str, perf: dict) -> None:
+        """Forced-align each chunk's text over its overlap-aware window
+        (engine align_window semantics, asr.py:322-348); degrades to an
+        empty alignment with a warning on failure (reference
+        asr_worker.py:36-38)."""
+        from ..schema import ForcedAlignResult
+        from .. import logger
+
+        chunk_sec = self.chunk_samples / SAMPLE_RATE
+        duration = len(req.audio) / SAMPLE_RATE
+        items: list = []
+        prev_items: list = []
+        try:
+            aligner = self.engine.aligner
+            for j, txt in enumerate(req.chunk_texts):
+                seg_end = min((j + 1) * chunk_sec, duration)
+                offset = j * chunk_sec
+                if j > 0 and prev_items:
+                    prev_limit = j * chunk_sec
+                    offset = min(prev_limit,
+                                 max(prev_items[-1].end_time, prev_limit - 10.0))
+                if not txt.strip():
+                    prev_items = []
+                    continue
+                ares = aligner.align(
+                    req.audio[int(offset * SAMPLE_RATE): int(seg_end * SAMPLE_RATE)],
+                    txt, language=req.language or "Chinese", offset_sec=offset,
+                )
+                prev_items = list(ares.items)
+                items.extend(prev_items)
+        except Exception:
+            logger.warning(
+                "forced alignment failed in batched serving; "
+                "timestamps degraded to empty", exc_info=True,
+            )
+        items.sort(key=lambda x: x.start_time)
+        req.result = TranscribeResult(
+            text=text,
+            alignment=ForcedAlignResult(items=items) if items else None,
+            performance=perf,
+        )
+        req.done_evt.set()
 
     def _process_block(self, packed_dev, snapshot) -> None:
         """Fetch a dispatched block's packed result and retire finished rows.

@@ -111,6 +111,86 @@ def test_mixed_temperatures_one_batch(engine):
         cb.close()
 
 
+def test_long_audio_chunks_match_engine(engine):
+    """>1-chunk requests run as successive row sessions carrying memory
+    (audio feature + rollback-trimmed stable tokens) — transcripts equal
+    the sequential engine's chunk loop, and two long requests interleave
+    (the reference server serialized these, serve_openai_gguf.py:249)."""
+    cb = ContinuousBatcher(engine, max_batch=2, block=4)
+    try:
+        audios = [_audio(5.0, 550.0), _audio(4.2, 660.0)]  # 3-chunk each
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = cb.submit(audios[i], language="English", temperature=0.0)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for audio, out in zip(audios, outs):
+            assert out is not None
+            # the engine runs kv_prefix_reuse (exact) — same transcript
+            seq = engine.asr(audio, context="", language="English",
+                             chunk_size_sec=2.0, memory_chunks=1,
+                             temperature=0.0)
+            assert out.text == seq.text, (out.text, seq.text)
+            assert out.performance["n_chunks"] == 3
+        assert cb.stats["completed"] == 2
+    finally:
+        cb.close()
+
+
+def test_timestamps_through_batcher(tmp_path_factory):
+    """srt/vtt/verbose_json requests ride the batcher: alignment runs on
+    its align pool after the final chunk instead of serializing on the
+    engine lock."""
+    d = tmp_path_factory.mktemp("cb_ts_ckpt")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16")
+    make_synthetic_checkpoint(str(d), "tiny", quant="f16", aligner=True, seed=1)
+    from qwen3_asr_gguf_tpu.schema import AlignerConfig
+
+    engine = QwenASREngine(ASREngineConfig(
+        model_dir=str(d), llm_fn="qwen3_asr_llm.f16.gguf", precision="f32",
+        chunk_size=2.0, n_ctx=512, verbose=False, max_new_tokens=12,
+        decode_block=8, enable_aligner=True,
+        align_config=AlignerConfig(
+            model_dir=str(d), llm_fn="qwen3_aligner_llm.f16.gguf",
+            precision="f32", n_ctx=512,
+        ),
+    ))
+    cb = ContinuousBatcher(engine, max_batch=2, block=4)
+    try:
+        assert cb.supports_timestamps
+        outs = {}
+
+        def run(name, seconds, freq):
+            outs[name] = cb.submit(_audio(seconds, freq), language="Chinese",
+                                   temperature=0.0, timestamps=True)
+
+        threads = [
+            threading.Thread(target=run, args=("a", 1.5, 440.0)),
+            threading.Thread(target=run, args=("b", 3.0, 660.0)),  # 2 chunks
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for name in ("a", "b"):
+            r = outs[name]
+            assert r is not None and isinstance(r.text, str)
+            if r.text.strip() and r.alignment is not None:
+                items = r.alignment.items
+                assert len(items) > 0
+                starts = [it.start_time for it in items if it.text.strip()]
+                assert all(starts[i] <= starts[i + 1] + 1e-9
+                           for i in range(len(starts) - 1))
+    finally:
+        cb.close()
+        engine.shutdown()
+
+
 def test_int4_engine_rows_decode(tmp_path_factory):
     """int4 engines serve through the multi-row q4_k kernel path
     (forward_step_rows) instead of remapping decode to dense weights

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=1024)
     ap.add_argument("--prec", default="int8")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8", "f32"],
+                    help="KV cache dtype (int8 halves attention HBM reads)")
     args = ap.parse_args()
 
     import os
@@ -59,6 +61,7 @@ def main() -> None:
         precision=args.prec if on_tpu else "f32",
         n_ctx=args.n_ctx, chunk_size=40.0, verbose=False,
         max_new_tokens=args.max_new, enable_aligner=False,
+        kv_cache_dtype=args.kv,
     ))
     print(f"engine init {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
