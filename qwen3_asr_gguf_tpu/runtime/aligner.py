@@ -260,11 +260,31 @@ class QwenForcedAligner:
         )
 
     def _korean_scores(self) -> dict:
-        """L-dictionary for Korean segmentation, derived from the model's own
-        BPE vocabulary (the reference ships a frequency-dict asset for
-        soynlp, aligner.py:19-30; the tokenizer's Hangul merges are the
-        equivalent high-frequency word list and travel with every model)."""
+        """L-dictionary for Korean segmentation. A reference-format dict
+        file wins when available (config.ko_dict_path, or a
+        korean_dict*.dict dropped into the model dir — byte-compatible with
+        the reference's bundled soynlp asset, aligner.py:19-30, so users
+        can carry theirs over); otherwise derived from the model's own BPE
+        vocabulary (the tokenizer's Hangul merges are the equivalent
+        high-frequency word list and travel with every model — but lack the
+        single-syllable stems a curated dict has, see
+        test_jako_segmentation)."""
         if self._ko_scores is None:
+            candidates = [self.config.ko_dict_path] if self.config.ko_dict_path else []
+            candidates += [
+                os.path.join(self.config.model_dir, "korean_dict.dict"),
+                os.path.join(self.config.model_dir, "korean_dict_jieba.dict"),
+            ]
+            for path in candidates:
+                if path and os.path.exists(path):
+                    scores: dict[str, float] = {}
+                    with open(path, encoding="utf-8") as f:
+                        for line in f:
+                            line = line.strip()
+                            if line:
+                                scores[line.split()[0]] = 1.0
+                    self._ko_scores = scores
+                    return self._ko_scores
             words = []
             for tid in range(self.tokenizer.n_vocab):
                 try:

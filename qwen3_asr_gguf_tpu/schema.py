@@ -73,6 +73,12 @@ class AlignerConfig:
     # aligner's NAR single-prefill workload) | "int4" | "q4_k" | "bf16" | "f32"
     precision: str = "int8"
     use_dml: bool = False  # accepted & ignored (reference API compatibility)
+    # Korean L-dictionary for soynlp-style segmentation. Resolution order:
+    # this path if set -> "korean_dict.dict" / the reference's
+    # "korean_dict_jieba.dict" inside model_dir -> derived from the model
+    # vocabulary (korean_scores_from_vocab). File format = the reference's
+    # bundled asset: one "word freq tag" line per entry (aligner.py:19-30).
+    ko_dict_path: Optional[str] = None
 
 
 @dataclass

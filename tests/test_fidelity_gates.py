@@ -1,0 +1,78 @@
+"""Quantization fidelity bars as CI gates (VERDICT r3 weak #7).
+
+The reference publishes two fidelity bars (README.md:154-157): encoder
+int4 cosine >= 0.96 vs fp16 (asserted in test_encoder.py
+test_encoder_quantized_rungs_close_to_f32) and decoder q4_k perplexity
+delta <= +9% vs f16 (llama.cpp tools/perplexity methodology). This module
+wires the PPL bar into pytest through the same `cli.perplexity` code the
+manual tool runs, on a tiny real-quant-geometry checkpoint (hidden 256 =
+one full q4_k superblock per row), so a broken q4_k codec or dequant path
+fails CI instead of surfacing as a cosine blip. The 1.7B-shaped hardware
+run stays in cli/quant_accuracy (ROADMAP records cosine 0.9961 on v5e).
+"""
+
+import numpy as np
+import pytest
+
+import qwen3_asr_gguf_tpu.models.configs as C
+from qwen3_asr_gguf_tpu.cli.perplexity import compute_ppl
+from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+
+PRESET = "tiny-ppl-256"
+
+C.PRESETS[PRESET] = C.ThinkerConfig(
+    audio=C.AudioEncoderConfig(
+        num_mel_bins=128, d_model=64, encoder_layers=1,
+        encoder_attention_heads=4, encoder_ffn_dim=128,
+        downsample_hidden_size=32, output_dim=256,
+    ),
+    text=C.TextDecoderConfig(
+        vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, intermediate_size=512,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def q4k_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ppl_ckpt")
+    make_synthetic_checkpoint(str(d), PRESET, quant="q4_k")
+    return str(d / "qwen3_asr_llm.q4_k.gguf")
+
+
+def test_q4k_ppl_delta_within_reference_bar(q4k_ckpt):
+    """PPL(q4_k) vs PPL(f32-dequant of the same file) <= +9% — the
+    reference's decoder fidelity bar. Both passes read the SAME GGUF; the
+    q4_k path runs the packed containers (dense fallback on CPU), the f32
+    path dequantizes at load, so any codec/unpack drift shows up as a
+    perplexity blowup."""
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 500, size=600).astype(np.int32)
+
+    ppl_f32 = compute_ppl(q4k_ckpt, ids, precision="f32", window=128)
+    ppl_q = compute_ppl(q4k_ckpt, ids, precision="q4_k", window=128)
+    delta = (ppl_q - ppl_f32) / ppl_f32
+    # both run the same q4_k-stored weights, so the only divergence is the
+    # compute path (packed vs dequanted) — tighter than the cross-storage
+    # reference bar, which this must stay far inside
+    assert abs(delta) <= 0.09, (ppl_f32, ppl_q, delta)
+    assert np.isfinite(ppl_f32) and np.isfinite(ppl_q)
+
+
+def test_q4k_vs_f16_storage_ppl_delta(tmp_path_factory):
+    """Cross-storage bar (the reference's actual +8.7% measurement shape):
+    the SAME weights written as f16 GGUF and as q4_k GGUF, scored at f32
+    compute. On a synthetic checkpoint the quantization noise must keep the
+    PPL delta within the reference's 9% bar."""
+    d = tmp_path_factory.mktemp("ppl_f16_ckpt")
+    make_synthetic_checkpoint(str(d), PRESET, quant="f16")
+    make_synthetic_checkpoint(str(d), PRESET, quant="q4_k")
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 500, size=600).astype(np.int32)
+    ppl_f16 = compute_ppl(str(d / "qwen3_asr_llm.f16.gguf"), ids,
+                          precision="f32", window=128)
+    ppl_q = compute_ppl(str(d / "qwen3_asr_llm.q4_k.gguf"), ids,
+                        precision="f32", window=128)
+    delta = abs(ppl_q - ppl_f16) / ppl_f16
+    assert delta <= 0.09, (ppl_f16, ppl_q, delta)
