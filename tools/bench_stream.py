@@ -24,7 +24,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunk", type=float, default=2.0)
-    ap.add_argument("--max-new", type=int, default=48)
+    # synthetic weights never emit EOS, so max_new IS the per-step decode
+    # length; 16 matches the real workload's tokens-per-step (the reference
+    # emits ~2.4-3.8 tok/s of audio -> a 2 s step re-decodes ~5-13 tokens
+    # incl. the rollback refill; same rationale as bench.py's 96/chunk cap)
+    ap.add_argument("--max-new", type=int, default=16)
     ap.add_argument("--no-prewarm", action="store_true")
     args = ap.parse_args()
 
@@ -49,6 +53,10 @@ def main() -> None:
         precision="int4" if on_tpu else "f32",
         n_ctx=2048, chunk_size=40.0, verbose=False,
         max_new_tokens=args.max_new, enable_aligner=False,
+        # block == max_new: ONE decode block per step sized to the step's
+        # token budget — a 64-step block would run to its compiled length
+        # when no EOS fires and triple the step latency
+        decode_block=args.max_new,
     ))
     print(f"engine init {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
