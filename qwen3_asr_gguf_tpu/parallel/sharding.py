@@ -70,12 +70,44 @@ def _int8_spec(spec: P) -> Int8Weight:
     return Int8Weight(q=spec, scale=scale_spec)  # type: ignore[arg-type]
 
 
+def _q4kmxu_spec(spec: P):
+    """Q4KMXUWeight (packed int4 MXU layout) sharded like its dense
+    [*, out, in] weight: `packed` is [*, out//2, in] (follows the dense
+    spec), while the scale planes `sub_t`/`min_t` [*, G, out] and `dd_t`
+    [*, 2S, out] are K-major x N — their out/in axes are SWAPPED. K splits
+    land on whole 256-wide superblocks (the engine gates int4 TP on that
+    divisibility), so every shard's scale rows stay self-contained."""
+    from ..ops.pallas_q4k import Q4KMXUWeight
+
+    lead = tuple(spec[:-2])
+    swapped = P(*lead, spec[-1], spec[-2])
+    return Q4KMXUWeight(packed=spec, sub_t=swapped, min_t=swapped, dd_t=swapped)  # type: ignore[arg-type]
+
+
 def _weight_spec(w: Any, spec: P):
+    from ..ops.pallas_q4k import Q4KMXUWeight
+
+    if isinstance(w, Q4KMXUWeight):
+        return _q4kmxu_spec(spec)
     if isinstance(w, Q4Weight):
         return _q4_spec(spec)
     if isinstance(w, Int8Weight):
         return _int8_spec(spec)
     return spec
+
+
+def int4_tp_supported(cfg: TextDecoderConfig, model: int) -> bool:
+    """Can the PACKED int4 decode path shard over `model` ways? Heads and
+    KV heads must divide (Megatron tiles), and every K split must land on
+    whole 256-wide q4_k superblocks (o_proj splits K = heads*head_dim,
+    down_proj splits K = intermediate)."""
+    return (
+        model >= 1
+        and cfg.num_heads % model == 0
+        and cfg.num_kv_heads % model == 0
+        and (cfg.num_heads * cfg.head_dim) % (model * 256) == 0
+        and cfg.intermediate_size % (model * 256) == 0
+    )
 
 
 def decoder_param_specs(cfg: TextDecoderConfig, params: Any | None = None) -> dict:

@@ -298,18 +298,26 @@ class ContinuousBatcher:
 
             return jax.vmap(one)(ids, mask, audio, lengths, keys, temperatures, greedys)
 
-        @partial(jax.jit, donate_argnames=("caches",))
-        def scatter_cohort(caches, staged, lanes, rows):
-            """Copy staged KV lanes into live rows. Padding lanes carry an
-            out-of-range row index and drop (mode='drop'), so a cohort can
-            scatter in as many partial steps as row availability dictates
-            without a compile per partial width."""
-            return jax.tree.map(
+        @partial(jax.jit, donate_argnames=("caches", "toks", "keys", "dones_dev"))
+        def scatter_cohort(caches, staged, lanes, rows, toks, staged_toks,
+                           keys, staged_keys, dones_dev):
+            """Copy staged KV lanes + first tokens + keys into live rows and
+            clear the rows' EOS latches — ONE dispatch per drain (each
+            remote-runtime dispatch costs ~2-5 ms of host time; four
+            separate programs here measurably stalled the decode worker).
+            Padding lanes carry an out-of-range row index and drop
+            (mode='drop'), so a cohort can scatter in as many partial steps
+            as row availability dictates without a compile per width."""
+            caches = jax.tree.map(
                 lambda cs, st: cs.at[rows, : st.shape[1]].set(
                     st[lanes].astype(cs.dtype), mode="drop"
                 ),
                 caches, staged,
             )
+            toks = toks.at[rows].set(staged_toks[lanes], mode="drop")
+            keys = keys.at[rows].set(staged_keys[lanes], mode="drop")
+            dones_dev = dones_dev.at[rows].set(False, mode="drop")
+            return caches, toks, keys, dones_dev
 
         @jax.jit
         def set_rows(arr, rows, vals):
@@ -391,23 +399,23 @@ class ContinuousBatcher:
 
     # -- worker ------------------------------------------------------------------
 
-    def _build_admission(self, req: _Request):
-        """(ids, mask, embd_dev) for the request's CURRENT chunk. Chunk 0 is
-        the plain single-prompt; later chunks carry the previous chunk's
-        audio feature + stable tokens (engine full_prompt semantics,
-        asr.py:269-393). Raises ValueError on an n_ctx overflow.
-
-        Audio encodes at its own mel bucket (5 s steps), not the full 40 s
-        chunk shape — a 10 s request was paying 4x encoder compute."""
-        eng = self.engine
-        s = req.chunk_idx * self.chunk_samples
-        chunk = req.audio[s : s + self.chunk_samples]
+    def _chunk_audio(self, req: _Request) -> np.ndarray:
         from ..audio.mel import HOP
 
+        s = req.chunk_idx * self.chunk_samples
+        chunk = req.audio[s : s + self.chunk_samples]
         if len(chunk) < HOP:  # sub-hop tail chunk: pad to one mel frame
             chunk = np.pad(np.asarray(chunk), (0, HOP - len(chunk)))
+        return chunk
+
+    def _build_admission(self, req: _Request, chunk: np.ndarray, cur):
+        """(ids, mask, embd_dev) for the request's CURRENT chunk (`cur` is
+        its dispatched encoder output). Chunk 0 is the plain single-prompt;
+        later chunks carry the previous chunk's audio feature + stable
+        tokens (engine full_prompt semantics, asr.py:269-393). Raises
+        ValueError on an n_ctx overflow."""
+        eng = self.engine
         n_valid = eng.encoder.valid_tokens(len(chunk))
-        cur = eng.encoder.encode_async(chunk)
         if req.chunk_idx + 1 < req.n_chunks:
             req.cur_feature = cur[:n_valid]  # next chunk's memory (device)
         if req.chunk_idx == 0:
@@ -451,10 +459,26 @@ class ContinuousBatcher:
         # reject oversize prompts individually BEFORE forming the cohort: one
         # request longer than n_ctx must not fail its cohort peers
         _t_enc = time.time()
+        eng = self.engine
+        chunks = [self._chunk_audio(req) for req in reqs]
+        # group same-shape encodes into ONE vmapped dispatch (each remote
+        # dispatch costs ~2-5 ms host; per-request encodes dominated the
+        # measured per-cohort admit time)
+        curs: list = [None] * len(reqs)
+        groups: dict = {}
+        for i, c in enumerate(chunks):
+            groups.setdefault(eng.encoder.batch_key(c), []).append(i)
+        for idxs in groups.values():
+            if len(idxs) >= 2:
+                outs = eng.encoder.encode_batch_async([chunks[i] for i in idxs])
+                for i, o in zip(idxs, outs):
+                    curs[i] = o
+            else:
+                curs[idxs[0]] = eng.encoder.encode_async(chunks[idxs[0]])
         kept = []
-        for req in reqs:
+        for req, chunk, cur in zip(reqs, chunks, curs):
             try:
-                ids, mask, embd = self._build_admission(req)
+                ids, mask, embd = self._build_admission(req, chunk, cur)
             except ValueError as e:
                 req.error = e
                 req.done_evt.set()
@@ -564,13 +588,9 @@ class ContinuousBatcher:
             # pad to the cohort's compiled width; OOB rows drop on device
             lanes_p = jnp.asarray(lanes + [0] * (target_p - n), dtype=jnp.int32)
             rows_p = jnp.asarray(rows + [self.b] * (target_p - n), dtype=jnp.int32)
-            self.caches = self._scatter_cohort(
-                self.caches, cohort.staged, lanes_p, rows_p
-            )
-            self.toks = self._set_rows(self.toks, rows_p, cohort.toks[lanes_p])
-            self.keys = self._set_rows(self.keys, rows_p, cohort.keys[lanes_p])
-            self.dones_dev = self._set_rows(
-                self.dones_dev, rows_p, jnp.zeros(target_p, bool)
+            self.caches, self.toks, self.keys, self.dones_dev = self._scatter_cohort(
+                self.caches, cohort.staged, lanes_p, rows_p,
+                self.toks, cohort.toks, self.keys, cohort.keys, self.dones_dev,
             )
             for lane, row_idx in zip(lanes, rows):
                 req = cohort.reqs[lane]

@@ -93,6 +93,12 @@ class EncoderRunner:
             return enc.backend_transformer(params, cfg, _backend_in(hidden))
 
         @jax.jit
+        def _encode_audio_batch(params, audios):
+            """Vmapped twin of `_encode_audio` for same-length aligned
+            audios (serving admission cohorts: one dispatch, batched MXU)."""
+            return jax.vmap(lambda a: _encode_audio(params, a))(audios)
+
+        @jax.jit
         def _encode_mel(params, mel, valid_tokens):
             hidden = enc.conv_frontend(params, cfg, mel)
             return enc.backend_transformer(
@@ -103,9 +109,8 @@ class EncoderRunner:
 
         from ..audio.mel import _log_mel_padded_jit
 
-        @_partial(jax.jit, static_argnames=("n_frames_bucket",))
-        def _encode_varlen(params, y, valid_frames, valid_tokens, n_frames_bucket: int):
-            """Variable-length path fully on device: mel (exact host-twin on
+        def _varlen_one(params, y, valid_frames, valid_tokens, n_frames_bucket: int):
+            """Variable-length body fully on device: mel (exact host-twin on
             the reflect-padded signal) + conv + backend in ONE program — the
             host mel was ~21 ms of single-core numpy on the align tail, plus
             a mel upload whose cross-stream sync stalls the consumer."""
@@ -117,9 +122,23 @@ class EncoderRunner:
                 params, cfg, _backend_in(hidden), valid_tokens=valid_tokens
             )
 
+        _encode_varlen = _partial(jax.jit, static_argnames=("n_frames_bucket",))(
+            _varlen_one
+        )
+
+        @_partial(jax.jit, static_argnames=("n_frames_bucket",))
+        def _encode_varlen_batch(params, ys, valid_frames, valid_tokens,
+                                 n_frames_bucket: int):
+            """Same-bucket cohort encode: ONE program + vmapped batch —
+            serving admission was paying one remote dispatch per request."""
+            return jax.vmap(
+                lambda y, vf, vt: _varlen_one(params, y, vf, vt, n_frames_bucket)
+            )(ys, valid_frames, valid_tokens)
+
         self._encode_audio = _encode_audio
         self._encode_mel = _encode_mel
         self._encode_varlen = _encode_varlen
+        self._encode_varlen_batch = _encode_varlen_batch
 
         if warmup_sec > 0:
             noise = np.random.default_rng(0).standard_normal(
@@ -158,6 +177,44 @@ class EncoderRunner:
         mel = log_mel_np(np.asarray(audio), self.frontend.filters)  # [128, frames]
         mel_padded = np.pad(mel, ((0, 0), (0, bucket - frames)))
         return self._encode_mel(self.params, jnp.asarray(mel_padded), jnp.int32(valid))
+
+    def batch_key(self, audio) -> tuple:
+        """Grouping key for `encode_batch_async`: audios with equal keys can
+        share one vmapped program (same compiled shape + same code path)."""
+        n = int(audio.shape[-1])
+        frames = max(n // HOP, 1)
+        if n % SAMPLE_RATE == 0 and frames % self.cfg.n_window == 0:
+            return ("aligned", n)
+        return ("varlen", self.mel_bucket(frames))
+
+    def encode_batch_async(self, audios: list) -> list:
+        """Dispatch same-`batch_key` host audios as ONE vmapped program;
+        returns per-audio device arrays ([t_padded, D] each, first
+        `valid_tokens(audio)` rows meaningful)."""
+        from ..audio.mel import pad_signal_for_bucket
+
+        keys = {self.batch_key(a) for a in audios}
+        if len(keys) != 1:
+            raise ValueError(f"mixed encode batch keys: {keys}")
+        kind, _ = keys.pop()
+        if kind == "aligned":
+            ys = np.stack([np.asarray(a, np.float32) for a in audios])
+            out = self._encode_audio_batch(self.params, jnp.asarray(ys))
+            return [out[i] for i in range(len(audios))]
+        frames = [max(int(a.shape[-1]) // HOP, 1) for a in audios]
+        bucket = self.mel_bucket(max(frames))
+        ys = np.stack([
+            pad_signal_for_bucket(np.asarray(a, np.float32), bucket) for a in audios
+        ])
+        valids = [
+            enc.get_feat_extract_output_lengths(f, self.cfg.n_window) for f in frames
+        ]
+        out = self._encode_varlen_batch(
+            self.params, jnp.asarray(ys),
+            jnp.asarray(frames, dtype=jnp.int32),
+            jnp.asarray(valids, dtype=jnp.int32), bucket,
+        )
+        return [out[i] for i in range(len(audios))]
 
     def mel_bucket(self, frames: int) -> int:
         """Frame bucket for variable-length inputs: linear 5 s steps up to

@@ -85,7 +85,12 @@ class QwenASREngine:
         # here vs 1.4 s raced against the encoder bring-up below
         _dec_precision_early = config.precision
         if config.mesh_shape and _dec_precision_early == "int4":
-            _dec_precision_early = "int8"  # mirrors the mesh remap below
+            from ..parallel.sharding import int4_tp_supported
+
+            if not int4_tp_supported(
+                thinker.text, int(dict(config.mesh_shape).get("model", 1))
+            ):
+                _dec_precision_early = "int8"  # mirrors the mesh remap below
         dec_meta = P.load_decoder_meta(
             os.path.join(model_dir, config.llm_fn), _dec_precision_early
         )
@@ -152,12 +157,20 @@ class QwenASREngine:
         mesh = None
         dec_precision = config.precision
         if config.mesh_shape:
-            from ..parallel.sharding import make_mesh
+            from ..parallel.sharding import int4_tp_supported, make_mesh
 
             mesh = make_mesh(dict(config.mesh_shape))
-            if dec_precision in ("int4",):
-                logger.info("mesh inference: decoder precision int4 -> int8")
-                dec_precision = "int8"
+            if dec_precision == "int4":
+                if int4_tp_supported(
+                    thinker.text, int(dict(config.mesh_shape).get("model", 1))
+                ):
+                    # packed int4 TP: shard_map decode over Megatron tiles
+                    # (generate._build_tp_step) keeps the headline precision
+                    logger.info("mesh inference: packed int4 TP decode")
+                else:
+                    logger.info("mesh inference: decoder precision int4 -> int8 "
+                                "(geometry not TP-divisible)")
+                    dec_precision = "int8"
         try:
             dec_cfg, dec_params, tokenizer = P.load_decoder_gguf(
                 os.path.join(model_dir, config.llm_fn),

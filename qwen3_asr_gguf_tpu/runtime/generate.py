@@ -76,6 +76,7 @@ class Generator:
         mesh=None,  # jax.sharding.Mesh: TP-shard weights/cache over "model"
     ):
         self.mesh = mesh
+        self._tp_axis = None  # set for packed-int4 TP: decode runs shard_map
         if mesh is not None:
             # tensor-parallel inference (SURVEY.md §2.6: "pjit over ICI
             # replaces the queues"): weights shard Megatron-style over the
@@ -83,10 +84,45 @@ class Generator:
             # SPMD inserts the psums at o_proj/down_proj/logits. The caller
             # passes UNFUSED layer weights (a fused qkv/gateup row split
             # would cross q/k/v section boundaries).
+            #
+            # PACKED int4 containers additionally flip the decode step to a
+            # shard_map program (see _build_block): XLA SPMD cannot split a
+            # pallas_call, so each shard runs the int4-stream kernel on its
+            # local Megatron tile with explicit psums (VERDICT r3 #5 — the
+            # headline precision no longer remaps to int8 under a mesh).
+            from ..ops.pallas_q4k import Q4KMXUWeight
             from ..parallel.sharding import decoder_param_specs, shard_params
 
             if "qkv_proj" in params["layers"] or "gateup_proj" in params["layers"]:
                 raise ValueError("sharded inference requires unfused layer weights")
+            if any(
+                isinstance(v, Q4KMXUWeight)
+                for v in jax.tree.leaves(
+                    params["layers"],
+                    is_leaf=lambda x: isinstance(x, Q4KMXUWeight),
+                )
+            ) or isinstance(params.get("lm_head"), Q4KMXUWeight):
+                self._tp_axis = "model"
+                tp = int(mesh.shape["model"])
+                head = params.get("lm_head")
+                if isinstance(head, Q4KMXUWeight):
+                    # the load-time head pad (1024 rows) need not divide
+                    # evenly into BN-aligned shards; re-pad so every local
+                    # vocab tile stays a whole kernel tile (zero rows
+                    # dequantize to exactly 0; lm_logits slices them away)
+                    from ..ops.pallas_q4k import BN, pad_rows
+
+                    mult = 2 * BN * tp
+                    if head.shape[0] % mult:
+                        parts = pad_rows(
+                            *(np.asarray(a) for a in
+                              (head.packed, head.sub_t, head.min_t, head.dd_t)),
+                            multiple=mult,
+                        )
+                        params = dict(params)
+                        params["lm_head"] = Q4KMXUWeight(
+                            *(jnp.asarray(a) for a in parts)
+                        )
             params = shard_params(mesh, params, decoder_param_specs(cfg, params))
             prefill_params = None  # int4 prefill split is a single-chip path
         self.params = params
@@ -291,6 +327,67 @@ class Generator:
 
         return rebase
 
+    def _build_tp_step(self, attn_window: int) -> Callable:
+        """shard_map decode step for packed-int4 TP (see __init__ note):
+        per-shard forward over local Megatron tiles with psums at o_proj/
+        down_proj, local-vocab logits all_gathered back to replicated."""
+        import dataclasses as _dc
+
+        import functools as _ft
+
+        try:
+            from jax import shard_map
+
+            # check_vma off: the pallas matvec calls inside don't annotate
+            # varying-mesh-axes on their out shapes; replication of the
+            # psum/all_gather outputs is by construction (and pinned
+            # token-exact by test_parallel_infer / dryrun_multichip)
+            shard_map = _ft.partial(shard_map, check_vma=False)
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+            shard_map = _ft.partial(shard_map, check_rep=False)
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import decoder_cache_specs, decoder_param_specs
+
+        cfg = self.cfg
+        mesh = self.mesh
+        tp = int(mesh.shape["model"])
+        cfg_local = _dc.replace(
+            cfg,
+            num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp,
+        )
+        pspecs = decoder_param_specs(cfg, self.params)
+        drop_lead = lambda s: P(*s[1:])  # stacked [L, ...] -> per-layer
+        layer_specs = jax.tree.map(
+            drop_lead, pspecs["layers"], is_leaf=lambda x: isinstance(x, P)
+        )
+        head_specs = {"final_norm": pspecs["final_norm"], "lm_head": pspecs["lm_head"]}
+        cache_specs = decoder_cache_specs(cfg, self.cache_dtype)
+
+        def step(head, layers_local, embd, cache, pos):
+            hidden, cache = dec.forward_step_layers(
+                layers_local, head["final_norm"], cfg_local, embd, cache, pos,
+                attn_window=attn_window, tp_axis="model",
+            )
+            logits = dec.lm_logits(head, hidden)  # local vocab tile
+            logits = jax.lax.all_gather(logits, "model", axis=0, tiled=True)
+            return hidden, cache, logits
+
+        return shard_map(
+            step, mesh=mesh,
+            in_specs=(
+                head_specs,
+                [layer_specs] * cfg.num_layers,
+                P(),
+                cache_specs,
+                P(),
+            ),
+            out_specs=(P(), cache_specs, P()),
+        )
+
     def _build_block(self) -> Callable:
         cfg = self.cfg
         eos = self.eos_ids
@@ -298,6 +395,8 @@ class Generator:
         fused_mlp = self.fused_mlp
         pallas_attn = self.pallas_attn
         stacked_args = self._stacked_args and not self.fused_mlp
+        tp_axis = self._tp_axis
+        tp_steps: dict[int, Callable] = {}  # attn_window -> shard_map step
 
         @partial(jax.jit, static_argnames=("greedy", "attn_window"), donate_argnames=("cache",))
         def decode_block(params, layers_arg, cache, pos0, tok0, key, temperature, done0,
@@ -320,12 +419,22 @@ class Generator:
             def body(carry):
                 i, cache, pos, tok, key, done, aborted, emitted = carry
                 embd = dec.embed_tokens(params, tok)
-                hidden, cache = dec.forward_step_layers(
-                    layers_list, params["final_norm"], cfg, embd, cache, pos,
-                    attn_window=attn_window, fused_mlp=fused_mlp,
-                    pallas_attn=pallas_attn,
-                )
-                logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
+                if tp_axis is not None:
+                    if attn_window not in tp_steps:
+                        tp_steps[attn_window] = self._build_tp_step(attn_window)
+                    head = {"final_norm": params["final_norm"],
+                            "lm_head": params["lm_head"]}
+                    hidden, cache, logits = tp_steps[attn_window](
+                        head, layers_list, embd, cache, pos
+                    )
+                    logits = logits[: cfg.lm_head_dim]
+                else:
+                    hidden, cache = dec.forward_step_layers(
+                        layers_list, params["final_norm"], cfg, embd, cache, pos,
+                        attn_window=attn_window, fused_mlp=fused_mlp,
+                        pallas_attn=pallas_attn,
+                    )
+                    logits = dec.lm_logits(params, hidden, cfg.lm_head_dim)
                 if greedy:
                     nxt = sample_greedy(logits).astype(jnp.int32)
                 else:
