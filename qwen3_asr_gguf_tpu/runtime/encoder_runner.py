@@ -136,6 +136,7 @@ class EncoderRunner:
             )(ys, valid_frames, valid_tokens)
 
         self._encode_audio = _encode_audio
+        self._encode_audio_batch = _encode_audio_batch
         self._encode_mel = _encode_mel
         self._encode_varlen = _encode_varlen
         self._encode_varlen_batch = _encode_varlen_batch

@@ -208,3 +208,28 @@ def test_engine_bf16_encoder_rung(tmp_path):
     res = eng.asr((np.sin(2 * np.pi * 440 * t) * 0.3).astype(np.float32),
                   "", "English", chunk_size_sec=2.0, temperature=0.0)
     assert isinstance(res.text, str)
+
+
+def test_encode_batch_async_matches_single(rng):
+    """Cohort encode (one vmapped dispatch) equals per-audio encodes on the
+    valid rows — both the aligned fast path (exact-second, n_window-aligned
+    audio) and the varlen bucket path (serving admission groups by
+    EncoderRunner.batch_key)."""
+    from qwen3_asr_gguf_tpu.runtime.encoder_runner import EncoderRunner
+
+    params = jax.tree.map(np.asarray, enc.init_params(CFG, jax.random.key(5)))
+    runner = EncoderRunner(params, CFG)
+    for seconds in (1.0, 1.3):  # aligned, varlen
+        audios = [
+            (rng.standard_normal(int(16_000 * seconds)) * 0.3).astype(np.float32)
+            for _ in range(3)
+        ]
+        keys = {runner.batch_key(a) for a in audios}
+        assert len(keys) == 1
+        batched = runner.encode_batch_async(audios)
+        for a, b in zip(audios, batched):
+            single = runner.encode_async(a)
+            n = runner.valid_tokens(len(a))
+            np.testing.assert_allclose(
+                np.asarray(b)[:n], np.asarray(single)[:n], atol=1e-5
+            )
