@@ -171,13 +171,22 @@ def _mha(layer: Params, cfg: AudioEncoderConfig, x: jax.Array, key_mask=None) ->
 
 
 def backend_transformer(
-    params: Params, cfg: AudioEncoderConfig, hidden: jax.Array, valid_tokens=None
+    params: Params, cfg: AudioEncoderConfig, hidden: jax.Array, valid_tokens=None,
+    sp_axis: str | None = None,
 ) -> jax.Array:
     """hidden [T, d_model] -> [T, output_dim].
 
     `valid_tokens` (traced int32 scalar, optional): number of leading valid
     rows; later keys are masked out of attention (full mode only) so a
     bucket-padded call equals the unpadded one on the valid prefix.
+
+    `sp_axis` (windowed mode only): sequence parallelism for long
+    single-shot encodes — the block-diagonal attention windows are
+    independent, so the window axis shards over the mesh axis and every
+    layer computes its local windows with ZERO collectives (the one
+    all-gather happens implicitly at the output reshape). This is the
+    TPU-native scaling for >80 s inputs the reference handles by
+    host-splitting (SURVEY.md §5 long-context).
     """
     t = hidden.shape[0]
     key_mask = None
@@ -204,6 +213,11 @@ def backend_transformer(
         pad = 0
         if valid_tokens is not None:
             key_mask = jnp.arange(t, dtype=jnp.int32) < valid_tokens
+
+    if sp_axis is not None and cfg.attention_mode == "windowed":
+        from jax.sharding import PartitionSpec as _P
+
+        x = jax.lax.with_sharding_constraint(x, _P(sp_axis, None, None))
 
     def layer_fn(h, layer):
         # f32 biases promote the residual stream; cast back so a bf16
