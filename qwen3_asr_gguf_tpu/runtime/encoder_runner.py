@@ -149,17 +149,27 @@ class EncoderRunner:
 
     # -- async dispatch ----------------------------------------------------
 
-    def encode_async(self, audio: np.ndarray) -> jax.Array:
+    def encode_async(self, audio: np.ndarray, *, bucketed: bool = False) -> jax.Array:
         """Dispatch encoding; returns an unwaited device array.
 
         The result is [t_padded, D] with only the first
         `valid_tokens(audio)` rows meaningful for non-aligned lengths.
+
+        `bucketed=True` forces the bucket-padded variable-length program
+        even for hop/window-aligned audio. The aligned fast path compiles
+        ONE program PER EXACT LENGTH — right for the engine's fixed-size
+        chunks, pathological for a streaming session whose accumulated
+        audio grows by one chunk per step (every step a new program; on
+        this platform even a compile-cache HIT costs seconds of
+        per-process executable load). Bucketed, a session loads
+        O(log T) encoder programs and the mel_bucket prewarm key matches
+        the program actually run.
         """
         n = int(audio.shape[-1])
         frames = n // HOP
         if frames == 0:
             raise ValueError("audio shorter than one mel hop (10 ms)")
-        if n % SAMPLE_RATE == 0 and frames % self.cfg.n_window == 0:
+        if not bucketed and n % SAMPLE_RATE == 0 and frames % self.cfg.n_window == 0:
             return self._encode_audio(self.params, jnp.asarray(audio, dtype=jnp.float32))
 
         # variable-length path: device mel (exact twin of the host path on

@@ -390,13 +390,20 @@ class QwenASREngine:
         result.n_prefill = int(ids.shape[0])
 
         t0 = time.time()
+        drop_first_emitted = False
         if retry_cache is not None:
+            # re-seed the decode loop at the last prompt position instead
+            # of prefilling: the failed attempt's cache already holds the
+            # full prompt KV, and the decode-block program (already warm)
+            # reproduces the prefill's final logits from the last prompt
+            # token — no retry-only compiled program, no prefill cost.
+            # The block emits its input token, so drop the first emission.
             base = reuse[1] if reuse is not None else 0
             plen = base + int(ids.shape[0])
-            state = self.generator.start_spliced_at(
-                ids[-1:], np.zeros(1, dtype=bool), audio_embd,
-                start=plen - 1, cache=retry_cache, temperature=temperature,
+            state = self.generator.restart_at(
+                retry_cache, pos=plen - 1, last_token=int(ids[-1])
             )
+            drop_first_emitted = True
         elif reuse is None:
             state = self.generator.start_spliced(
                 ids, audio_mask, audio_embd, temperature=temperature
@@ -436,6 +443,9 @@ class QwenASREngine:
                 spec = gen.decode_block_dispatch(st, temperature)
                 latest = spec[0]
             toks, finished, rep_aborted = gen.collect_block(packed)
+            if drop_first_emitted and toks:
+                toks = toks[1:]  # the restart_at-fed prompt token
+                drop_first_emitted = False
             for tok in toks:
                 if n_gen >= max_new:
                     break

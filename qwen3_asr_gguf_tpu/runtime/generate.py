@@ -650,6 +650,33 @@ class Generator:
             key=key, done=done,
         )
 
+    def restart_at(self, cache, *, pos: int, last_token: int,
+                   seed: int | None = None) -> GenState:
+        """Re-seed generation from an existing cache at `pos` (the last
+        prompt position): the next decode block re-processes that
+        position's input token, reproducing the prefill's final logits,
+        and re-samples at the caller's temperature/key.
+
+        This makes a circuit-breaker retry (reference asr.py:193-209
+        re-decodes the whole prompt) cost ZERO prefill work and — more
+        important on this platform — ZERO extra compiled programs: the
+        retry rides the already-warm decode-block program, where a
+        dedicated 1-token suffix prefill would load a fresh
+        (prompt-bucket x embd-shape x prefix-window) executable per chunk
+        shape (observed: 0.5-0.9 s per streaming chunk whose breaker
+        fired). Stale KV beyond `pos` from the failed attempt is masked
+        by position until overwritten.
+
+        NOTE the decode block EMITS its input token, so the first emitted
+        entry after a restart is the prompt token fed back in — the caller
+        must drop it (engine._decode does)."""
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        return GenState(
+            cache=cache, pos=pos, last_token=jnp.int32(last_token),
+            key=jax.random.key(seed), done=jnp.bool_(False),
+        )
+
     def rebase_kv(self, cache, src: int, dst: int, block: int):
         """Move a KV block (e.g. last chunk's audio) to new positions with
         RoPE re-basing; returns the updated cache (donated)."""

@@ -91,7 +91,12 @@ class StreamingTranscriber:
         if state.accum.size < self.chunk_samples // 4:
             return
         prefix_full = self._prefix_text(state)
-        embd_padded = self.engine.encoder.encode_async(state.accum)
+        # bucketed: the aligned encode fast path compiles one program per
+        # EXACT length — a growing accumulation would load a new encoder
+        # program every chunk (seconds each on a remote-runtime platform,
+        # even compile-cache hits). Bucket-padded, a session runs O(log T)
+        # encoder programs and prewarm's mel_bucket key matches reality.
+        embd_padded = self.engine.encoder.encode_async(state.accum, bucketed=True)
         n_audio = self.engine.encoder.valid_tokens(int(state.accum.shape[-1]))
         # n_ctx budget: the decode PROMPT drops the oldest carried prefix
         # text if header + audio + prefix + generation headroom would
@@ -136,12 +141,23 @@ class StreamingTranscriber:
 
     # -- public API ----------------------------------------------------------
 
-    def prewarm(self, max_sec: float = 120.0, background: bool = False):
-        """Compile the (encoder bucket x prompt bucket) ladder a live session
-        will hit, up to `max_sec` of accumulated audio, so a mic session
-        never stalls on a first-compile (VERDICT r1: streaming compile-shape
-        churn). Call before the first `feed`; with `background=True` returns
-        the warming thread immediately."""
+    def prewarm(self, max_sec: float = 120.0, background: bool = False,
+                prefix_tok_per_sec: float = 6.0):
+        """Load every program a live session will hit, up to `max_sec` of
+        accumulated audio, so a mic session never stalls on a first
+        compile/program-load (VERDICT r1: streaming compile-shape churn).
+
+        Coverage is exact, not heuristic: the compiled-program keys are
+        (encoder mel bucket), (prefill prompt bucket) and (decode attention
+        window, greedy) — the carried transcript prefix grows the live
+        prompt past the empty-prefix bucket, so each accumulation level
+        warms EVERY prompt bucket reachable with up to
+        `prefix_tok_per_sec * seconds` carried tokens (tech report:
+        2.4-3.8 emitted tok/s; 6 is a safe ceiling). Warm prompts pad with
+        inert tokens — the programs key on shape, not content. Contiguous
+        prompt buckets also cover every 256-slot decode window. Call before
+        the first `feed`; with `background=True` returns the warming thread
+        immediately."""
         from .generate import prompt_bucket
 
         def work():
@@ -150,23 +166,57 @@ class StreamingTranscriber:
             eng = self.engine
             seen = set()
             n = self.chunk_samples
+            detect = self.language is None
             while n <= int(max_sec * SAMPLE_RATE):
                 frames = n // 160
                 n_audio = eng.encoder.valid_tokens(n)
-                ids, _ = eng._build_prompt_ids(n_audio, "", self.context, self.language)
-                key = (eng.encoder.mel_bucket(frames), prompt_bucket(len(ids)))
-                if key not in seen:
-                    seen.add(key)
-                    silence = np.zeros(n, np.float32)
+                ids, mask = eng._build_prompt_ids(
+                    n_audio, "", self.context, self.language, detect
+                )
+                mel_b = eng.encoder.mel_bucket(frames)
+                base = len(ids)
+                headroom = min(eng.config.max_new_tokens, 256)
+                max_len = min(
+                    base + int(prefix_tok_per_sec * n / SAMPLE_RATE),
+                    max(eng.config.n_ctx - headroom, base),
+                )
+                # warm lengths: the exact base length (covers the decode
+                # window one 256-step below the first bucket top) plus the
+                # TOP of every reachable prompt bucket — together these hit
+                # every (prefill bucket, decode window) pair a live t in
+                # [base, max_len] can produce (buckets are 128/256-spaced,
+                # windows 256-spaced: at most one boundary between tops)
+                lengths, b = [base], prompt_bucket(base)
+                while b <= prompt_bucket(max_len) and b <= eng.config.n_ctx:
+                    lengths.append(b)
+                    b = prompt_bucket(b + 1)
+                block = eng.generator.block
+                embd = None
+                for length in lengths:
                     # both sampling variants: greedy AND temperature>0
                     # (the circuit-breaker retry path escalates
                     # temperature — an unwarmed non-greedy program would
                     # stall a live session mid-retry)
                     for temp in dict.fromkeys((self.temperature, 0.4)):
-                        st = self.init_state()
-                        st.accum = silence
-                        st.chunks_seen = 0
-                        self._decode_accum(st, temperature=temp, max_new_tokens=1)
+                        win = -(-(length + block) // 256) * 256
+                        key = (mel_b, prompt_bucket(length), win, temp > 0)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        if embd is None:
+                            embd = eng.encoder.encode_async(
+                                np.zeros(n, np.float32), bucketed=True
+                            )
+                        pad = length - base
+                        ids_w = np.concatenate(
+                            [ids, np.full(pad, eng.ID_IM_END, np.int32)]
+                        )
+                        mask_w = np.concatenate([mask, np.zeros(pad, bool)])
+                        eng._safe_decode(
+                            ids_w, mask_w, embd, rollback_num=0,
+                            is_last_chunk=True, temperature=temp,
+                            max_new_tokens=1,
+                        )
                 n += self.chunk_samples
 
         if background:

@@ -119,3 +119,37 @@ def test_device_repetition_latch():
     assert finished
     # exited early: ~16 emissions, far fewer than the 64-token block
     assert len(toks) < 32
+
+
+def test_restart_at_matches_fresh_decode(params, rng):
+    """A circuit-breaker retry re-seeds the decode loop at the last prompt
+    position (Generator.restart_at) instead of prefilling; greedy, the
+    re-seeded stream (minus the echoed prompt token) must exactly equal the
+    fresh prefill+decode stream — the block's first step reproduces the
+    prefill's final logits."""
+    gen = Generator(params, CFG, n_ctx=256, eos_ids=(127,), cache_dtype=jnp.float32,
+                    bucket=16, block=8)
+    ids = np.asarray(rng.integers(1, 120, size=9), dtype=np.int32)
+    mask = np.zeros(9, dtype=bool)
+    embd_audio = jnp.zeros((1, CFG.hidden_size), jnp.float32)  # unused (mask all-False)
+
+    def run(state):
+        out = []
+        for _ in range(2):
+            toks, state, finished = gen.decode_block(state, temperature=0.0)
+            out.extend(toks)
+            if finished:
+                break
+        return out, state
+
+    ref, failed_state = run(gen.start_spliced(ids, mask, embd_audio, temperature=0.0))
+
+    # retry scenario: the failed attempt's cache holds prompt KV plus stale
+    # generated KV beyond the prompt; restart at the last prompt position
+    state = gen.restart_at(failed_state.cache, pos=len(ids) - 1,
+                           last_token=int(ids[-1]))
+    out, _ = run(state)
+    assert out[0] == int(ids[-1])  # the block echoes its input token
+    # the echo costs one slot, so the restarted stream is one token shorter
+    assert len(out) >= 8
+    assert out[1:] == ref[: len(out) - 1]

@@ -64,7 +64,12 @@ def main() -> None:
                               chunk_size_sec=args.chunk)
     if not args.no_prewarm:
         t0 = time.time()
-        st.prewarm(max_sec=args.seconds)
+        # synthetic weights emit exactly max_new tokens per step (never
+        # EOS), so the carried-prefix growth rate is max_new/chunk — pass
+        # it so prewarm's bucket coverage matches this workload (real
+        # models emit 2.4-3.8 tok/s; the 6/s default covers them)
+        st.prewarm(max_sec=args.seconds,
+                   prefix_tok_per_sec=args.max_new / args.chunk)
         print(f"prewarm {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # reference audio tiled to length
