@@ -339,6 +339,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--mesh", default=None,
                    help="TP-shard the decoder over a device mesh, e.g. 'model=4'")
+    p.add_argument("--prewarm", type=float, default=10.0,
+                   help="batch mode: prewarm the serving program set for this "
+                        "audio length (seconds) before accepting traffic; 0 "
+                        "disables")
     p.add_argument("--batch-mode", choices=["continuous", "micro", "off"],
                    default="continuous",
                    help="continuous = per-request admission into free decode "
@@ -380,6 +384,13 @@ def main(argv=None) -> int:
         from ..runtime.continuous import ContinuousBatcher
 
         batcher = ContinuousBatcher(engine, max_batch=args.max_batch)
+        if args.prewarm > 0:
+            # load the whole serving program set before accepting traffic
+            # (cohort widths, decode windows) — an unloaded program costs
+            # seconds to minutes on first dispatch (docs/ROADMAP.md r4)
+            t0 = time.time()
+            batcher.prewarm(audio_secs=(args.prewarm,))
+            print(f"batcher prewarmed in {time.time()-t0:.1f}s")
     elif args.max_batch > 1 and args.batch_mode == "micro" and args.batch_window > 0:
         from ..runtime.microbatch import MicroBatcher
 

@@ -26,6 +26,8 @@ decode: the worker's only admission cost is the scatter.
 
 from __future__ import annotations
 
+import os
+import sys
 import threading
 import time
 from dataclasses import dataclass, field
@@ -91,7 +93,10 @@ class _Cohort:
 
 class ContinuousBatcher:
     PREFILL_COHORT = 4  # compat alias: default mid cohort size
-    COHORT_SIZES = (1, 4, 8)  # compiled staging-prefill widths
+    # compiled staging-prefill widths: 16-wide halves the per-cohort host
+    # cost (dispatches + prompt builds amortize) — at 128-burst the
+    # admission thread's host time, not the device, is the throughput wall
+    COHORT_SIZES = (1, 4, 8, 16)
 
     def __init__(self, engine, *, max_batch: int = 8, block: int = 16,
                  max_new_tokens: Optional[int] = None):
@@ -213,7 +218,15 @@ class ContinuousBatcher:
             nxt = jnp.where(done, tok, nxt)
             return cache, pos + 1, nxt, key, nxt_done, emitted
 
-        use_rows = self._int4_rows
+        # rows path for EVERY precision: activations stay [B, K] so weights
+        # stream/matmul ONCE per step. The vmapped twin batches the per-row
+        # dynamic cache updates into scatters and re-materializes the cache
+        # layout per step — measured 14 ms/step at batch 32 (int8, v5e-1)
+        # and 40 ms/step at batch 64, vs the rows path's near-roof steps;
+        # kept only for f32 exactness tests via QWEN3_CB_VMAP_STEP=1.
+        import os as _os
+
+        use_rows = not _os.environ.get("QWEN3_CB_VMAP_STEP")
 
         @partial(jax.jit, static_argnames=("attn_window",), donate_argnames=("caches",))
         def decode_block(params, layers_list, caches, poss, toks, keys, dones,
@@ -397,6 +410,62 @@ class ContinuousBatcher:
             "n_cohorts": self._n_cohorts,
         }
 
+    def prewarm(self, *, audio_secs: tuple = (10.0,), language: str = "Chinese",
+                context: str = "") -> None:
+        """Deterministically load every serving program before traffic.
+
+        Submitting W requests from W racing threads and hoping the admission
+        loop takes them as one W-wide cohort is not deterministic on a
+        1-core host: a split cohort leaves the W-wide encode/prefill
+        programs unloaded, and the first live burst then pays the program
+        load (seconds to minutes on this platform — see docs/ROADMAP.md
+        round-4 lesson) inside the admission path. Instead, stage a
+        synthetic silence cohort at EVERY compiled width directly, scatter
+        it into out-of-range rows (device-side drop: live state untouched),
+        and dispatch one decode block per 256-slot attention window.
+
+        Call before serving traffic (the worker is idle then; this method
+        mutates the device row state that the worker owns once rows are
+        live)."""
+        from ..audio.mel import HOP
+
+        for sec in audio_secs:
+            n = max(int(sec * SAMPLE_RATE), HOP)
+            silence = np.zeros(n, np.float32)
+            n_chunks = max(1, int(np.ceil(n / self.chunk_samples)))
+            for w in self.cohort_sizes:
+                reqs = [
+                    _Request(audio=silence, context=context, language=language,
+                             temperature=0.0, n_chunks=n_chunks)
+                    for _ in range(w)
+                ]
+                cohort = self._stage_cohort(reqs)
+                if cohort is None:
+                    continue
+                target_p = int(np.shape(cohort.toks)[0])
+                lanes = jnp.arange(target_p, dtype=jnp.int32)
+                rows = jnp.full((target_p,), self.b, jnp.int32)  # OOB -> drop
+                self.caches, self.toks, self.keys, self.dones_dev = (
+                    self._scatter_cohort(
+                        self.caches, cohort.staged, lanes, rows,
+                        self.toks, cohort.toks, self.keys, cohort.keys,
+                        self.dones_dev,
+                    )
+                )
+        for win in range(256, self.n_ctx + 1, 256):
+            # all rows are done -> every step is a latched no-op; this only
+            # loads the per-window block program
+            self.caches, self.toks, self.keys, self.dones_dev, packed = (
+                self._decode_block(
+                    self.dec_params, self.layers_list, self.caches,
+                    jnp.asarray(self.poss.copy()), self.toks, self.keys,
+                    self.dones_dev, jnp.asarray(self.dones.copy()),
+                    jnp.asarray(self.temps.copy()),
+                    jnp.asarray(self.greedy.copy()), win,
+                )
+            )
+            np.asarray(packed)
+
     # -- worker ------------------------------------------------------------------
 
     def _chunk_audio(self, req: _Request) -> np.ndarray:
@@ -461,6 +530,8 @@ class ContinuousBatcher:
         _t_enc = time.time()
         eng = self.engine
         chunks = [self._chunk_audio(req) for req in reqs]
+        _trace = os.environ.get("QWEN3_CB_TRACE")
+        _t1 = time.time()
         # group same-shape encodes into ONE vmapped dispatch (each remote
         # dispatch costs ~2-5 ms host; per-request encodes dominated the
         # measured per-cohort admit time)
@@ -470,11 +541,21 @@ class ContinuousBatcher:
             groups.setdefault(eng.encoder.batch_key(c), []).append(i)
         for idxs in groups.values():
             if len(idxs) >= 2:
-                outs = eng.encoder.encode_batch_async([chunks[i] for i in idxs])
+                # pad the encode batch to a COMPILED width (duplicate the
+                # last chunk; padding outputs discarded): the batch size is
+                # a compiled dimension, and an arbitrary-width cohort (e.g.
+                # 9 of a 16-slot take) would load a fresh encoder program
+                # mid-traffic — measured 0.6-11 s per novel width on this
+                # platform, the dominant serving-throughput noise
+                width = next(p for p in self.cohort_sizes if p >= len(idxs))
+                batch = [chunks[i] for i in idxs]
+                batch += [batch[-1]] * (width - len(batch))
+                outs = eng.encoder.encode_batch_async(batch)
                 for i, o in zip(idxs, outs):
                     curs[i] = o
             else:
                 curs[idxs[0]] = eng.encoder.encode_async(chunks[idxs[0]])
+        _t2 = time.time()
         kept = []
         for req, chunk, cur in zip(reqs, chunks, curs):
             try:
@@ -484,6 +565,11 @@ class ContinuousBatcher:
                 req.done_evt.set()
                 continue
             kept.append((req, ids, mask, embd))
+        _t3 = time.time()
+        if _trace:
+            print(f"[cb] stage w={len(reqs)}: chunk {_t1-_t_enc:.3f}s "
+                  f"enc-dispatch {_t2-_t1:.3f}s build {_t3-_t2:.3f}s",
+                  file=sys.stderr, flush=True)
         self._t_admit_enc += time.time() - _t_enc
         if not kept:
             return None

@@ -75,21 +75,11 @@ def main() -> None:
         for i in range(8)
     ]
 
-    # warmup: compile every staging-prefill cohort width plus the decode
-    # window buckets. Submissions are batched per width so the adaptive
-    # cohort sizing deterministically hits each compiled shape.
+    # deterministic program-set warmup: every cohort width's encode/prefill/
+    # scatter plus every decode window (thread-raced submits could split a
+    # width and leave its programs to load inside the measured run)
     t0 = time.time()
-    for width in getattr(cb, "cohort_sizes", (1, cb.PREFILL_COHORT)):
-        warm_threads = [
-            threading.Thread(target=cb.submit, args=(audios[i % len(audios)],),
-                             kwargs=dict(language="Chinese", temperature=0.0,
-                                         timeout=2400.0))
-            for i in range(width)
-        ]
-        for th in warm_threads:
-            th.start()
-        for th in warm_threads:
-            th.join()
+    cb.prewarm(audio_secs=(args.audio_sec,), language="Chinese")
     print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     latencies: list = []
@@ -129,6 +119,8 @@ def main() -> None:
         "phase timers: "
         f"admit(overlapped) {st['t_admit']-st0['t_admit']:.2f}s/"
         f"{st['n_cohorts']-st0['n_cohorts']}cohorts "
+        f"(enc {st.get('t_admit_enc', 0)-st0.get('t_admit_enc', 0):.2f}s "
+        f"prefill {st.get('t_admit_prefill', 0)-st0.get('t_admit_prefill', 0):.2f}s) "
         f"scatter {st.get('t_scatter', 0)-st0.get('t_scatter', 0):.2f}s "
         f"dispatch {st['t_dispatch']-st0['t_dispatch']:.2f}s/"
         f"{st['n_blocks']-st0['n_blocks']}blocks "
