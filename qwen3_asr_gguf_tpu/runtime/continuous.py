@@ -218,15 +218,17 @@ class ContinuousBatcher:
             nxt = jnp.where(done, tok, nxt)
             return cache, pos + 1, nxt, key, nxt_done, emitted
 
-        # rows path for EVERY precision: activations stay [B, K] so weights
-        # stream/matmul ONCE per step. The vmapped twin batches the per-row
-        # dynamic cache updates into scatters and re-materializes the cache
-        # layout per step — measured 14 ms/step at batch 32 (int8, v5e-1)
-        # and 40 ms/step at batch 64, vs the rows path's near-roof steps;
-        # kept only for f32 exactness tests via QWEN3_CB_VMAP_STEP=1.
-        import os as _os
-
-        use_rows = not _os.environ.get("QWEN3_CB_VMAP_STEP")
+        # rows path for every weight precision: activations stay [B, K] so
+        # weights stream/matmul ONCE per step. The vmapped twin batches the
+        # per-row dynamic cache updates into scatters and re-materializes
+        # the cache layout per step — measured 14 ms/step at batch 32
+        # (int8, v5e-1) and 40 ms/step at batch 64, vs the rows path's
+        # ~7 ms; the vmap body remains for int8 KV caches (their per-slot
+        # scale arrays aren't threaded by forward_step_rows) and as a
+        # diagnosis path via QWEN3_CB_VMAP_STEP=1.
+        use_rows = self.kv_dtype in (jnp.bfloat16, jnp.float32) and not os.environ.get(
+            "QWEN3_CB_VMAP_STEP"
+        )
 
         @partial(jax.jit, static_argnames=("attn_window",), donate_argnames=("caches",))
         def decode_block(params, layers_list, caches, poss, toks, keys, dones,
