@@ -239,12 +239,25 @@ def convert_hf_checkpoint(
         output_dim=audio_raw.get("output_dim", 2048),
         # HF checkpoints ship n_window=50 meaning 2*n_window-frame conv
         # chunks (modeling_qwen3_asr.py:682-694); our n_window IS the conv
-        # chunk length, so the import doubles it (50 -> 100)
+        # chunk length, so the import doubles it (50 -> 100). The doubling
+        # is only valid for 100-frame conv chunks: the modeling code's
+        # token-length formula hard-codes %100 steps, so any other value
+        # means the checkpoint disagrees with the architecture this
+        # converter (and the reference) implements — fail loudly rather
+        # than emit a model whose windowed attention silently mismatches.
         n_window=2 * audio_raw.get("n_window", 50),
         n_window_infer=audio_raw.get("n_window_infer", 400),
         conv_chunksize=audio_raw.get("conv_chunksize", 500),
         max_source_positions=audio_raw.get("max_source_positions", 1500),
     )
+    if audio_cfg.n_window != 100:
+        raise ValueError(
+            f"unsupported audio n_window={audio_raw.get('n_window')} in HF "
+            "config: the Qwen3-ASR conv frontend and its hard-coded "
+            "100-frame token-length formula (modeling get_feat_extract_"
+            "output_lengths) require n_window=50 (100-frame conv chunks); "
+            "refusing to convert a checkpoint this architecture mishandles"
+        )
     head_dim = text_raw.get("head_dim", 128)
     text_cfg = TextDecoderConfig(
         vocab_size=text_raw.get("vocab_size", 151936),

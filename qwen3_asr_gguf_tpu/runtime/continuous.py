@@ -64,6 +64,11 @@ class _Request:
     chunk_idx: int = 0
     n_chunks: int = 1
     chunk_texts: List[str] = field(default_factory=list)
+    # auto language mode (language=None): chunk 0 runs the detection
+    # protocol prompt (no forced <asr_text>); the parsed language carries
+    # into later chunk prompts and the aligner (engine `detecting`
+    # semantics, qwen3_asr.py:454-465)
+    detected_lang: Optional[str] = None
     mem_feature: Optional[object] = None  # [a_full, D] device array
     mem_tokens: List[int] = field(default_factory=list)
     cur_feature: Optional[object] = None  # this chunk's feature (next memory)
@@ -489,14 +494,25 @@ class ContinuousBatcher:
         n_valid = eng.encoder.valid_tokens(len(chunk))
         if req.chunk_idx + 1 < req.n_chunks:
             req.cur_feature = cur[:n_valid]  # next chunk's memory (device)
+        # language=None runs the detection-protocol prompt (no forced
+        # <asr_text>) exactly like the sequential engine's `detecting`
+        # mode; _retire parses the emitted ``language X<asr_text>body``.
+        # Detection stays live on EVERY chunk until a language parses
+        # (engine chunk loop keeps detecting while cur["lang"] is None,
+        # engine.py:1210), matching the official per-chunk parse+merge.
+        detecting = req.language is None
         if req.chunk_idx == 0:
-            ids, mask = eng._build_prompt_ids(n_valid, "", req.context, req.language)
+            ids, mask = eng._build_prompt_ids(
+                n_valid, "", req.context, req.language,
+                detect_language=detecting,
+            )
             if len(ids) > self.n_ctx:
                 raise ValueError(
                     f"prompt of {len(ids)} tokens exceeds n_ctx={self.n_ctx}"
                 )
             return ids, mask, cur
-        hdr, template = eng._prompt_parts("", req.context, req.language, False)
+        lang = req.language or req.detected_lang
+        hdr, template = eng._prompt_parts("", req.context, lang, detecting)
         a_mem = int(req.mem_feature.shape[0])
         n_audio = a_mem + n_valid
         # drop the OLDEST carried tokens on overflow (engine
@@ -634,6 +650,13 @@ class ContinuousBatcher:
                 self._n_staging += 1
             self._stage_slots.acquire()
             if self._stop:
+                # close() raced the slot wait: the popped requests would
+                # otherwise hang their submitters until timeout
+                err = RuntimeError("batcher closed while staging admission")
+                for req in reqs:
+                    if not req.done_evt.is_set():
+                        req.error = err
+                        req.done_evt.set()
                 return
             _t0 = time.time()
             cohort = None
@@ -707,13 +730,34 @@ class ContinuousBatcher:
         self.dones[row_idx] = True
         self.row_gen[row_idx] += 1  # invalidates in-flight block lanes
 
+        # detection stays live until a language parses (engine keeps
+        # detecting while cur["lang"] is None, engine.py:1210)
+        still_detecting = req.language is None and req.detected_lang is None
+
+        def parse_detect(text: str, tokens: list) -> tuple[str, list]:
+            """Auto-language parse (engine `detecting` semantics): strip
+            the ``language X<asr_text>`` protocol from display text and
+            from the carried prefix tokens; record the language for later
+            chunk prompts and the aligner."""
+            from ..text.parsing import parse_asr_output
+
+            d_lang, body = parse_asr_output(text)
+            if d_lang:
+                req.detected_lang = d_lang
+            if eng.ID_ASR_TEXT in tokens:
+                tokens = tokens[tokens.index(eng.ID_ASR_TEXT) + 1:]
+            return body, tokens
+
         if req.chunk_idx + 1 < req.n_chunks:
             # non-final chunk: trim the rollback tail from display AND the
             # carried prefix (engine display_queue semantics, asr.py:148-154)
             # and re-enter the admission queue as the next chunk, carrying
             # this chunk's audio feature + stable tokens
             stable = toks[: max(0, len(toks) - req.rollback)]
-            req.chunk_texts.append(eng.model.decode(stable))
+            text = eng.model.decode(stable)
+            if still_detecting:
+                text, stable = parse_detect(text, stable)
+            req.chunk_texts.append(text)
             req.mem_tokens = stable
             req.mem_feature = req.cur_feature
             req.cur_feature = None
@@ -723,7 +767,10 @@ class ContinuousBatcher:
             self._admit_work.set()
             return
 
-        req.chunk_texts.append(eng.model.decode(toks))
+        text_final = eng.model.decode(toks)
+        if still_detecting:
+            text_final, _ = parse_detect(text_final, toks)
+        req.chunk_texts.append(text_final)
         self.n_completed += 1
         text = "".join(req.chunk_texts)
         perf = {
@@ -738,7 +785,10 @@ class ContinuousBatcher:
             # done_evt fires when the timestamps land
             self._align_pool_submit(req, text, perf)
         else:
-            req.result = TranscribeResult(text=text, performance=perf)
+            req.result = TranscribeResult(
+                text=text, performance=perf,
+                language=req.language or req.detected_lang or "",
+            )
             req.done_evt.set()
 
     def _align_pool_submit(self, req: _Request, text: str, perf: dict) -> None:
@@ -774,7 +824,9 @@ class ContinuousBatcher:
                     continue
                 ares = aligner.align(
                     req.audio[int(offset * SAMPLE_RATE): int(seg_end * SAMPLE_RATE)],
-                    txt, language=req.language or "Chinese", offset_sec=offset,
+                    txt,
+                    language=req.language or req.detected_lang or "Chinese",
+                    offset_sec=offset,
                 )
                 prev_items = list(ares.items)
                 items.extend(prev_items)
@@ -788,6 +840,7 @@ class ContinuousBatcher:
             text=text,
             alignment=ForcedAlignResult(items=items) if items else None,
             performance=perf,
+            language=req.language or req.detected_lang or "",
         )
         req.done_evt.set()
 
@@ -855,7 +908,11 @@ class ContinuousBatcher:
                         inflow = bool(self._pending or self._ready) or self._n_staging > 0
                     if not inflow:
                         break
-                    self._work.wait(timeout=0.004)
+                    # plain sleep, NOT _work.wait(): _work is usually
+                    # already set here, so wait() returns immediately and
+                    # the gate busy-spins, stealing the 1-core host from
+                    # the admission thread it is waiting on
+                    time.sleep(0.004)
                     self._drain_ready()
                     active = [i for i, r in enumerate(self.rows) if r.req is not None]
 

@@ -63,6 +63,35 @@ def test_concurrent_submits_match_sequential(engine):
         cb.close()
 
 
+def test_auto_language_matches_engine(engine):
+    """language=None rides the detection protocol through the batcher:
+    chunk 0 runs the detect prompt, the parsed language feeds later chunk
+    prompts, and the result carries it — matching the sequential engine's
+    official auto mode (qwen3_asr.py:454-465)."""
+    cb = ContinuousBatcher(engine, max_batch=2, block=4)
+    try:
+        audios = [_audio(1.5, 440.0), _audio(5.0, 550.0)]  # 1- and 3-chunk
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = cb.submit(audios[i], language=None, temperature=0.0)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for audio, out in zip(audios, outs):
+            assert out is not None
+            seq = engine.asr(audio, context="", language=None,
+                             chunk_size_sec=2.0, memory_chunks=1,
+                             temperature=0.0, detect_language=True)
+            assert out.text == seq.text, (out.text, seq.text)
+            assert out.language == seq.language, (out.language, seq.language)
+    finally:
+        cb.close()
+
+
 def test_staggered_admission(engine):
     """A request arriving mid-decode joins a free row without waiting for
     the running generation to finish."""

@@ -181,9 +181,13 @@ def test_convert_hf_checkpoint(tmp_path):
     hf_dir = tmp_path / "hf"
     hf_dir.mkdir()
     save_file(state, str(hf_dir / "model.safetensors"))
+    # HF convention: n_window counts half a conv chunk (real checkpoints
+    # ship 50 for the 100-frame chunks); the converter doubles it back
+    hf_audio = asdict(acfg)
+    hf_audio["n_window"] = acfg.n_window // 2
     (hf_dir / "config.json").write_text(json.dumps({
         "thinker_config": {
-            "audio_config": asdict(acfg),
+            "audio_config": hf_audio,
             "text_config": {
                 "vocab_size": tcfg.vocab_size, "hidden_size": tcfg.hidden_size,
                 "num_hidden_layers": tcfg.num_layers, "num_attention_heads": tcfg.num_heads,
