@@ -145,12 +145,32 @@ class ContinuousBatcher:
         # relative, enough to flip near-margin greedy tokens vs the
         # single-stream path (the exact-equality test contract)
         self.kv_dtype = engine.generator.cache_dtype
+        # tensor-parallel serving (VERDICT r4 ask #6): when the engine runs
+        # over a mesh, the batched rows decode body runs under shard_map on
+        # the same Megatron tiles (psums at o_proj/down_proj, vocab
+        # all_gather — decoder.forward_step_rows tp_axis) and the live/
+        # staged KV rows shard on kv heads. Admission prefill rides XLA
+        # SPMD over the already-sharded params.
+        self.mesh = engine.generator.mesh
+        self._tp = (
+            int(dict(self.mesh.shape).get("model", 1))
+            if self.mesh is not None else 1
+        )
         self._build_programs()
 
         # device state
-        self.caches = jax.jit(
-            jax.vmap(lambda _: dec.init_cache(self.cfg, self.n_ctx, self.kv_dtype))
-        )(jnp.arange(self.b))
+        caches_init = jax.vmap(
+            lambda _: dec.init_cache(self.cfg, self.n_ctx, self.kv_dtype)
+        )
+        if self.mesh is not None:
+            from ..parallel.sharding import named
+
+            caches_init = jax.jit(
+                caches_init, out_shardings=named(self.mesh, self._batched_cache_specs())
+            )
+        else:
+            caches_init = jax.jit(caches_init)
+        self.caches = caches_init(jnp.arange(self.b))
         self.toks = jnp.zeros((self.b,), jnp.int32)
         self.keys = jax.vmap(jax.random.key)(np.arange(self.b, dtype=np.uint32))
         # host mirrors
@@ -199,6 +219,111 @@ class ContinuousBatcher:
 
     # -- device programs -----------------------------------------------------
 
+    def _batched_cache_specs(self) -> dict:
+        """Row-batched KV specs: decoder_cache_specs with a leading batch
+        axis ([B, S, H_kv, hd], kv heads sharded over `model`)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import decoder_cache_specs
+
+        return jax.tree.map(
+            lambda s: P(None, *s),
+            decoder_cache_specs(self.cfg, self.kv_dtype),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    def _build_tp_block_body(self, attn_window: int):
+        """shard_map rows-decode body for tensor-parallel serving: each
+        shard scans `block` steps of forward_step_rows over its local
+        Megatron tiles + kv-head cache shard; psums at o_proj/down_proj,
+        local-vocab logits all_gathered before (replicated) sampling.
+        Mirrors generate.Generator._build_tp_step for the batched rows."""
+        import dataclasses as _dc
+        import functools as _ft
+
+        try:
+            from jax import shard_map
+
+            # check_vma off: replication of psum/all_gather outputs is by
+            # construction (pinned by test_continuous_tp / dryrun_multichip)
+            shard_map = _ft.partial(shard_map, check_vma=False)
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+            shard_map = _ft.partial(shard_map, check_rep=False)
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import decoder_param_specs
+
+        cfg = self.cfg
+        eos = self.eos_ids
+        block_n = self.block
+        tp = self._tp
+        cfg_local = _dc.replace(
+            cfg,
+            num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp,
+        )
+        pspecs = decoder_param_specs(cfg, self.dec_params)
+        drop_lead = lambda s: P(*s[1:])  # stacked [L, ...] -> per-layer
+        layer_specs = jax.tree.map(
+            drop_lead, pspecs["layers"], is_leaf=lambda x: isinstance(x, P)
+        )
+        head_specs = {
+            "embed": pspecs["embed"],
+            "final_norm": pspecs["final_norm"],
+            "lm_head": pspecs["lm_head"],
+        }
+        cache_specs = self._batched_cache_specs()
+
+        def body(head, layers_local, caches, poss, toks, keys, dones,
+                 temps, greedys):
+            def sample_row(lg, k, tmp, g, d, t0):
+                k, sub = jax.random.split(k)
+                nxt = jnp.where(
+                    g,
+                    sample_greedy(lg).astype(jnp.int32),
+                    sample_topk_topp(lg, sub, tmp).astype(jnp.int32),
+                )
+                emitted = jnp.where(d, -1, t0)
+                nxt_done = d | jnp.any(nxt == eos)
+                return jnp.where(d, t0, nxt), k, nxt_done, emitted
+
+            def scan_body(carry, _):
+                caches, poss, toks, keys, dones = carry
+                embd = dec.embed_tokens(head, toks)
+                hidden, caches = dec.forward_step_rows(
+                    layers_local, head["final_norm"], cfg_local, embd,
+                    caches, poss, attn_window=attn_window, tp_axis="model",
+                )
+                from ..ops.qtensor import matmul
+
+                logits = matmul(hidden, head["lm_head"])  # local vocab tile
+                logits = jax.lax.all_gather(
+                    logits, "model", axis=1, tiled=True
+                ).astype(jnp.float32)[:, : cfg.lm_head_dim]
+                toks, keys, dones, emitted = jax.vmap(sample_row)(
+                    logits, keys, temps, greedys, dones, toks
+                )
+                return (caches, poss + 1, toks, keys, dones), emitted
+
+            (caches, poss, toks, keys, dones), emitted = jax.lax.scan(
+                scan_body, (caches, poss, toks, keys, dones), None,
+                length=block_n,
+            )
+            packed = jnp.concatenate(
+                [emitted.T, dones.astype(jnp.int32)[:, None]], axis=1
+            )
+            return caches, toks, keys, dones, packed
+
+        rep = P()
+        return shard_map(
+            body, mesh=self.mesh,
+            in_specs=(head_specs, [layer_specs] * cfg.num_layers, cache_specs,
+                      rep, rep, rep, rep, rep, rep),
+            out_specs=(cache_specs, rep, rep, rep, rep),
+        )
+
     def _build_programs(self) -> None:
         cfg = self.cfg
         eos = self.eos_ids
@@ -234,10 +359,30 @@ class ContinuousBatcher:
         use_rows = self.kv_dtype in (jnp.bfloat16, jnp.float32) and not os.environ.get(
             "QWEN3_CB_VMAP_STEP"
         )
+        tp = self._tp
+        if tp > 1 and not use_rows:
+            raise ValueError(
+                "tensor-parallel serving requires the rows decode body "
+                "(bf16/f32 KV cache); int8 KV is single-chip only"
+            )
+        tp_bodies: dict[int, object] = {}  # attn_window -> shard_map body
 
         @partial(jax.jit, static_argnames=("attn_window",), donate_argnames=("caches",))
         def decode_block(params, layers_list, caches, poss, toks, keys, dones,
                          host_dones, temps, greedys, attn_window: int):
+            if tp > 1:
+                # TP rows body: head+layer tiles via shard_map (the packed
+                # int4 kernel cannot be split by SPMD; explicit psums keep
+                # int8 on the identical path), EOS latch fold outside
+                if attn_window not in tp_bodies:
+                    tp_bodies[attn_window] = self._build_tp_block_body(attn_window)
+                head = {"embed": params["embed"],
+                        "final_norm": params["final_norm"],
+                        "lm_head": params["lm_head"]}
+                return tp_bodies[attn_window](
+                    head, layers_list, caches, poss, toks, keys,
+                    dones | host_dones, temps, greedys,
+                )
             # dones: device-chained EOS latches (exact even when the host's
             # view is one block stale under the pipeline); host_dones:
             # host-side retirements (budget/context exhaustion) the device

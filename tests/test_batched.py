@@ -9,6 +9,10 @@ from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
 from qwen3_asr_gguf_tpu.schema import ASREngineConfig
 
 
+
+pytestmark = pytest.mark.slow  # compile-heavy; fast lane: -m "not slow"
+
+
 @pytest.fixture(scope="module")
 def engine(tmp_path_factory):
     d = tmp_path_factory.mktemp("batch_ckpt")

@@ -39,6 +39,8 @@ import pytest
 from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
 from qwen3_asr_gguf_tpu.schema import ASREngineConfig
 
+
+pytestmark = pytest.mark.slow  # compile-heavy; fast lane: -m "not slow"
 REF_TB = "/root/reference/qwen_asr/core/transformers_backend"
 
 # synthetic-512 tokenizer special ids (text/tokenizer.build_synthetic_tokenizer:

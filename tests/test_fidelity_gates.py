@@ -18,6 +18,8 @@ import qwen3_asr_gguf_tpu.models.configs as C
 from qwen3_asr_gguf_tpu.cli.perplexity import compute_ppl
 from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
 
+
+pytestmark = pytest.mark.slow  # compile-heavy; fast lane: -m "not slow"
 PRESET = "tiny-ppl-256"
 
 C.PRESETS[PRESET] = C.ThinkerConfig(

@@ -15,6 +15,8 @@ from qwen3_asr_gguf_tpu.models.configs import PRESETS
 from qwen3_asr_gguf_tpu.parallel.sharding import make_mesh
 from qwen3_asr_gguf_tpu.runtime.generate import Generator
 
+
+pytestmark = pytest.mark.slow  # compile-heavy; fast lane: -m "not slow"
 CFG = PRESETS["tiny"].text
 
 

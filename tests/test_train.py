@@ -18,9 +18,12 @@ from qwen3_asr_gguf_tpu.parallel.train import (
     save_checkpoint,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+    ),
+    pytest.mark.slow,  # sharded train-step compiles; fast lane: -m "not slow"
+]
 
 
 def _tiny_cfg(model: int) -> ThinkerConfig:
