@@ -1,36 +1,58 @@
-"""Headline benchmark: RTF on a ~50 s utterance, Qwen3-ASR-1.7B shapes,
-int4 encoder + q4_k decoder (the reference's published configuration:
-README.md RTF 0.052 GPU / 0.390 CPU on 50.20 s Chinese audio).
+"""Headline benchmarks, driver-visible.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": RTF, "unit": "rtf", "vs_baseline": speedup}
+Emits one JSON metric line per scenario (stdout), HEADLINE LAST:
+  1. serve_throughput_s_audio_per_s  — continuous batching, 128 x 10 s
+  2. stream_ttft_s                   — live-mic streaming first-token latency
+  3. stream_p95_chunk_latency_s      — per 2 s chunk decode latency
+  4. rtf_50s_qwen3-asr-0.6b_int4_q4k — 0.6B single-stream RTF
+  5. rtf_50s_qwen3-asr-1.7b_int4_q4k — the headline: 1.7B single-stream RTF
 
-vs_baseline = reference_gpu_rtf / our_rtf  (>1 means faster than the
-reference's RTX-5050 DML+Vulkan pipeline).
+The headline scenario matches the reference's published configuration
+(README.md RTF 0.052 GPU / 0.390 CPU on 50.20 s Chinese audio, int4
+encoder + q4_k decoder, forced alignment ON). vs_baseline for each line
+is reference_bar / ours oriented so >1 means we beat the reference
+(see BASELINE.md for the bars' provenance).
+
+A regression guard compares the headline RTF against the newest
+BENCH_r*.json in the repo and prints a loud delta line to stderr
+(VERDICT r4 weak #1: the round-4 slowdown landed silently).
 
 No public weights ship with the reference, so the weights are synthetic
 (random, quantized) at the real architecture shapes — identical FLOP/byte
 workload. Generation length is capped to the reference workload's ~191
 output tokens (96/chunk x 2 chunks) since random weights never emit EOS.
-The synthetic checkpoint is cached in .bench_cache/ across rounds.
+Synthetic checkpoints are cached in .bench_cache/ across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-BASELINE_RTF_GPU = 0.052  # reference README.md:49
+BASELINE_RTF_GPU = 0.052  # reference README.md:49 (1.7B, RTX-5050 DML+Vulkan)
+BASELINE_RTF_06B = 0.00923  # tech report :102 (0.6B bs=1, vLLM on GPU)
+BASELINE_SERVE = 980.0  # tech report :102 (1.7B @128 concurrency, s-audio/s)
+BASELINE_TTFT = 0.105  # tech report :102 (92-105 ms offline TTFT)
 REPO = Path(__file__).parent
+
+METRICS: list[dict] = []  # printed at exit, headline LAST
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    METRICS.append({
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs_baseline,
+    })
 
 
 def get_audio(seconds: float = 50.2) -> np.ndarray:
@@ -49,7 +71,7 @@ def get_audio(seconds: float = 50.2) -> np.ndarray:
     return (np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 3 * t) * 0.3).astype(np.float32)
 
 
-def main() -> None:
+def setup_caches() -> None:
     # persistent compile cache INSIDE the repo: driver rounds keep the repo
     # tree, so warm rounds skip the remote compile service entirely; home
     # caches have not reliably survived between rounds (BENCH_r01->r02
@@ -112,11 +134,200 @@ def main() -> None:
         try:
             t0 = time.time()
             # verbose=False: cmake/ninja progress on stdout would break the
-            # one-JSON-line stdout contract the driver parses
+            # JSON-lines stdout contract the driver parses
             _native.build(verbose=False)
             log(f"native codec library built in {time.time()-t0:.0f}s")
         except Exception as e:  # NumPy fallback still works, just slower
             log(f"native build skipped ({e!r}); using NumPy codecs")
+
+
+def ensure_checkpoint(preset_name: str, *, aligner: str | None = None) -> Path:
+    from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
+
+    cache = REPO / ".bench_cache" / preset_name
+    if not (cache / "qwen3_asr_llm.q4_k.gguf").exists():
+        log(f"building synthetic checkpoint {preset_name} (cached for future rounds)...")
+        t0 = time.time()
+        make_synthetic_checkpoint(str(cache), preset_name, quant="q4_k")
+        log(f"checkpoint built in {time.time()-t0:.1f}s")
+    if aligner and not (cache / "qwen3_aligner_llm.q4_k.gguf").exists():
+        log("building synthetic aligner checkpoint...")
+        t0 = time.time()
+        make_synthetic_checkpoint(
+            str(cache), aligner, quant="q4_k", aligner=True, seed=1,
+        )
+        log(f"aligner checkpoint built in {time.time()-t0:.1f}s")
+    return cache
+
+
+def rtf_scenario(preset_name: str, audio: np.ndarray, *, on_tpu: bool,
+                 runs: int, baseline: float, headline: bool,
+                 aligner_dir: Path | None = None) -> float:
+    """Single-stream RTF with forced alignment ON (the reference's headline
+    2.59 s wall INCLUDES alignment, README align total 0.83 s).
+
+    `aligner_dir`: reuse an already-built aligner checkpoint from another
+    scenario's dir (it is the same 0.6B aligner whatever the ASR preset)."""
+    from qwen3_asr_gguf_tpu import compile_cache_entries
+    from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
+    from qwen3_asr_gguf_tpu.schema import AlignerConfig, ASREngineConfig
+
+    cache = ensure_checkpoint(
+        preset_name,
+        aligner=None if aligner_dir is not None
+        else ("qwen3-forced-aligner-0.6b" if on_tpu else "tiny"),
+    )
+    aligner_dir = aligner_dir or cache
+    # int4: decode streams 4-bit weights through the q4_k MXU matvec kernel
+    # (2.4 vs 3.25 ms/tok at the block level vs int8 on v5e)
+    precision = os.environ.get("QWEN3_BENCH_PREC", "int4") if on_tpu else "f32"
+    duration = len(audio) / 16_000
+
+    t0 = time.time()
+    engine = QwenASREngine(
+        ASREngineConfig(
+            model_dir=str(cache),
+            llm_fn="qwen3_asr_llm.q4_k.gguf",
+            precision=precision,
+            n_ctx=2048,
+            chunk_size=40.0,
+            memory_num=1,
+            verbose=False,
+            max_new_tokens=96,
+            decode_block=96,  # ONE dispatch+fetch per chunk (device exits at EOS)
+            # bf16 KV: measured faster than int8 KV at single-stream decode
+            # (the per-layer dequant ops cost more than the saved bandwidth
+            # at win<=1536); int8 remains the serving option (cache memory)
+            kv_cache_dtype=os.environ.get("QWEN3_BENCH_KV", "bf16"),
+            enable_aligner=True,
+            align_config=AlignerConfig(
+                model_dir=str(aligner_dir),
+                llm_fn="qwen3_aligner_llm.q4_k.gguf",
+                # the aligner is prefill-only (NAR sparse logits): int8 rides
+                # the MXU prefill path; int4's dense-dequant fallback has no
+                # matvec to win on
+                precision="int8" if on_tpu else precision,
+                n_ctx=2048,
+            ),
+        )
+    )
+    init_s = time.time() - t0
+    log(f"engine init {init_s:.2f}s")
+
+    # warmup: one full-length pass compiles every program shape the timed
+    # runs hit (a 41 s warmup left run 1 paying a fresh c1-prefill compile);
+    # second pass: sampled transcripts vary run to run, so the aligner can
+    # hit a neighboring (prompt, positions) bucket the first pass missed
+    n_cache0 = compile_cache_entries()
+    t0 = time.time()
+    engine.asr(audio, context="", language="Chinese", temperature=0.4)
+    engine.asr(audio, context="", language="Chinese", temperature=0.4)
+    n_new = compile_cache_entries() - n_cache0
+    log(f"warmup (compile) {time.time()-t0:.1f}s | compile cache: "
+        f"{n_cache0} entries, {n_new} new persisted")
+
+    results = []
+    for _ in range(runs if on_tpu else 1):
+        t0 = time.time()
+        res = engine.asr(audio, context="", language="Chinese", temperature=0.4)
+        wall = time.time() - t0
+        results.append((wall, res.performance))
+
+    # headline = MEDIAN (VERDICT r3 weak #5: best-of-5 met the 0.01 target
+    # only on the luckiest run); min is logged alongside for context
+    ordered = sorted(results, key=lambda r: r[0])
+    wall, perf = ordered[len(ordered) // 2]
+    wall_min = ordered[0][0]
+    rtf = wall / duration
+    pre_tps = perf["prefill_tokens"] / perf["prefill_time"] if perf["prefill_time"] else 0
+    gen_tps = perf["decode_tokens"] / perf["decode_time"] if perf["decode_time"] else 0
+    log(
+        f"[{preset_name}] wall median {wall:.2f}s (min {wall_min:.2f}s, rtf_min "
+        f"{wall_min / duration:.5f}) audio {duration:.2f}s | init {init_s:.2f}s | prefill "
+        f"{perf['prefill_tokens']}tok "
+        f"@ {pre_tps:.0f}tok/s | generate {perf['decode_tokens']}tok @ {gen_tps:.0f}tok/s "
+        f"| encode wait {perf['wait_time']:.2f}s | prefill {perf['prefill_time']:.2f}s "
+        f"decode {perf['decode_time']:.2f}s align "
+        f"{perf['align_enc_time'] + perf['align_dec_time']:.2f}s"
+    )
+    emit(
+        f"rtf_50s_{preset_name}_int4_q4k", round(rtf, 5), "rtf",
+        round(baseline / rtf, 3) if rtf > 0 else 0.0,
+    )
+    if headline and on_tpu:
+        guard_regression(rtf)
+    engine.shutdown()
+    return rtf
+
+
+def guard_regression(rtf: float) -> None:
+    """Loud stderr delta vs the newest recorded round artifact (the round-4
+    RTF regression landed silently; VERDICT r4 weak #1)."""
+    try:
+        arts = sorted(REPO.glob("BENCH_r*.json"))
+        if not arts:
+            return
+        prev = json.loads(arts[-1].read_text())
+        prev_val = (prev.get("parsed") or {}).get("value")
+        if not prev_val:
+            return
+        delta = 100.0 * (rtf - prev_val) / prev_val
+        tag = "REGRESSION" if delta > 3.0 else ("improved" if delta < -3.0 else "flat")
+        log(f"=== headline vs {arts[-1].name}: {prev_val:.5f} -> {rtf:.5f} "
+            f"({delta:+.1f}%) [{tag}] ===")
+        if delta > 3.0:
+            log("=== RTF REGRESSION: investigate before shipping this round ===")
+    except Exception as e:
+        log(f"regression guard skipped ({e!r})")
+
+
+def subprocess_probe(name: str, cmd: list[str], timeout: float) -> None:
+    """Run a probe script; forward its stderr tail and JSON metric lines."""
+    log(f"--- probe: {name} ---")
+    try:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, *cmd], cwd=str(REPO), timeout=timeout,
+            capture_output=True, text=True,
+            env={**os.environ, "QWEN3_ENGINE_TRACE": "0"},
+        )
+        for line in proc.stderr.strip().splitlines()[-6:]:
+            log(f"[{name}] {line}")
+        got = 0
+        for line in proc.stdout.strip().splitlines():
+            try:
+                m = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(m, dict) and "metric" in m:
+                METRICS.append(m)
+                got += 1
+        log(f"[{name}] rc={proc.returncode} wall={time.time()-t0:.1f}s "
+            f"metrics={got}")
+    except subprocess.TimeoutExpired:
+        log(f"[{name}] TIMEOUT after {timeout:.0f}s — metric skipped")
+    except Exception as e:
+        log(f"[{name}] FAILED ({e!r}) — metric skipped")
+
+
+def fidelity_evidence(timeout: float = 900.0) -> None:
+    """Per-round hardware fidelity bars next to the perf numbers
+    (VERDICT r4 ask #8): int4-kernel-vs-dense cosine at real 1.7B shapes
+    and the q4_k perplexity delta. stderr only — bars, not benchmarks."""
+    log("--- fidelity evidence (1.7B shapes, hardware) ---")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/cosine_1p7b.py"], cwd=str(REPO),
+            timeout=timeout, capture_output=True, text=True,
+        )
+        for line in proc.stdout.strip().splitlines()[-3:]:
+            log(f"[fidelity] {line}")
+    except Exception as e:
+        log(f"[fidelity] cosine probe skipped ({e!r})")
+
+
+def main() -> None:
+    setup_caches()
 
     import logging
 
@@ -133,111 +344,37 @@ def main() -> None:
     preset_name = "qwen3-asr-1.7b" if on_tpu else "tiny"
     log(f"backend={backend} preset={preset_name}")
 
-    from qwen3_asr_gguf_tpu.export.convert import make_synthetic_checkpoint
-    from qwen3_asr_gguf_tpu.runtime.engine import QwenASREngine
-    from qwen3_asr_gguf_tpu.schema import AlignerConfig, ASREngineConfig
-
-    cache = REPO / ".bench_cache" / preset_name
-    llm_fn = "qwen3_asr_llm.q4_k.gguf"
-    aligner_preset = "qwen3-forced-aligner-0.6b" if on_tpu else "tiny"
-    if not (cache / llm_fn).exists():
-        log("building synthetic ASR checkpoint (cached for future rounds)...")
-        t0 = time.time()
-        make_synthetic_checkpoint(str(cache), preset_name, quant="q4_k")
-        log(f"checkpoint built in {time.time()-t0:.1f}s")
-    if not (cache / "qwen3_aligner_llm.q4_k.gguf").exists():
-        log("building synthetic aligner checkpoint...")
-        t0 = time.time()
-        make_synthetic_checkpoint(str(cache), aligner_preset, quant="q4_k",
-                                  aligner=True, seed=1)
-        log(f"aligner checkpoint built in {time.time()-t0:.1f}s")
-
-    # int4: decode streams 4-bit weights through the q4_k MXU matvec kernel
-    # (2.4 vs 3.25 ms/tok at the block level vs int8 on v5e)
-    precision = os.environ.get("QWEN3_BENCH_PREC", "int4") if on_tpu else "f32"
-    t0 = time.time()
-    # aligner enabled: the reference's headline 2.59 s wall INCLUDES forced
-    # alignment (README align total 0.83 s), so ours must too
-    engine = QwenASREngine(
-        ASREngineConfig(
-            model_dir=str(cache),
-            llm_fn=llm_fn,
-            precision=precision,
-            n_ctx=2048,
-            chunk_size=40.0,
-            memory_num=1,
-            verbose=False,
-            max_new_tokens=96,
-            decode_block=96,  # ONE dispatch+fetch per chunk (device exits at EOS)
-            # bf16 KV: measured faster than int8 KV at single-stream decode
-            # (the per-layer dequant ops cost more than the saved bandwidth
-            # at win<=1536); int8 remains the serving option (cache memory)
-            kv_cache_dtype=os.environ.get("QWEN3_BENCH_KV", "bf16"),
-            enable_aligner=True,
-            align_config=AlignerConfig(
-                model_dir=str(cache),
-                llm_fn="qwen3_aligner_llm.q4_k.gguf",
-                # the aligner is prefill-only (NAR sparse logits): int8 rides
-                # the MXU prefill path; int4's dense-dequant fallback has no
-                # matvec to win on
-                precision="int8" if on_tpu else precision,
-                n_ctx=2048,
-            ),
-        )
-    )
-    log(f"engine init {time.time()-t0:.2f}s")
-
     audio = get_audio()
-    duration = len(audio) / 16_000
 
-    # warmup: one full-length pass compiles every program shape the timed
-    # runs hit (a 41 s warmup left run 1 paying a fresh c1-prefill compile)
-    from qwen3_asr_gguf_tpu import compile_cache_entries
+    # headline scenario runs FIRST (clean device, no probe residue)...
+    rtf_scenario(preset_name, audio, on_tpu=on_tpu, runs=5,
+                 baseline=BASELINE_RTF_GPU, headline=True)
+    headline_metric = METRICS.pop()  # ...but prints LAST
 
-    n_cache0 = compile_cache_entries()
-    t0 = time.time()
-    engine.asr(audio, context="", language="Chinese", temperature=0.4)
-    # second warmup: sampled transcripts vary run to run, so the aligner can
-    # hit a neighboring (prompt, positions) bucket the first pass missed
-    engine.asr(audio, context="", language="Chinese", temperature=0.4)
-    n_new = compile_cache_entries() - n_cache0
-    log(f"warmup (compile) {time.time()-t0:.1f}s | compile cache: "
-        f"{n_cache0} entries, {n_new} new persisted")
+    if on_tpu and not os.environ.get("QWEN3_BENCH_HEADLINE_ONLY"):
+        # secondary scenarios (VERDICT r4 asks #4/#5): driver-visible
+        # serving + streaming + 0.6B numbers, each bounded and skippable
+        rtf_scenario("qwen3-asr-0.6b", audio, on_tpu=True, runs=3,
+                     baseline=BASELINE_RTF_06B, headline=False,
+                     aligner_dir=REPO / ".bench_cache" / preset_name)
+        subprocess_probe(
+            "stream", ["tools/bench_stream.py", "--seconds", "20"],
+            timeout=1500,
+        )
+        subprocess_probe(
+            "serve",
+            ["tools/bench_serve.py", "--requests", "128", "--concurrency",
+             "128", "--batch", "64", "--audio-sec", "10"],
+            timeout=1800,
+        )
+        fidelity_evidence()
 
-    results = []
-    for _ in range(5 if on_tpu else 1):
-        t0 = time.time()
-        res = engine.asr(audio, context="", language="Chinese", temperature=0.4)
-        wall = time.time() - t0
-        results.append((wall, res.performance))
+    METRICS.append(headline_metric)
+    for m in METRICS:
+        print(json.dumps(m), flush=True)
 
-    # headline = MEDIAN of 5 (VERDICT r3 weak #5: best-of-5 met the 0.01
-    # target only on the luckiest run); min is logged alongside for context
-    ordered = sorted(results, key=lambda r: r[0])
-    wall, perf = ordered[len(ordered) // 2]
-    wall_min = ordered[0][0]
-    rtf = wall / duration
-    pre_tps = perf["prefill_tokens"] / perf["prefill_time"] if perf["prefill_time"] else 0
-    gen_tps = perf["decode_tokens"] / perf["decode_time"] if perf["decode_time"] else 0
-    log(
-        f"wall median {wall:.2f}s (min {wall_min:.2f}s, rtf_min "
-        f"{wall_min / duration:.5f}) audio {duration:.2f}s | prefill "
-        f"{perf['prefill_tokens']}tok "
-        f"@ {pre_tps:.0f}tok/s | generate {perf['decode_tokens']}tok @ {gen_tps:.0f}tok/s "
-        f"| encode wait {perf['wait_time']:.2f}s | prefill {perf['prefill_time']:.2f}s "
-        f"decode {perf['decode_time']:.2f}s align "
-        f"{perf['align_enc_time'] + perf['align_dec_time']:.2f}s"
-    )
-
-    print(json.dumps({
-        "metric": f"rtf_50s_{preset_name}_int4_q4k",
-        "value": round(rtf, 5),
-        "unit": "rtf",
-        "vs_baseline": round(BASELINE_RTF_GPU / rtf, 3) if rtf > 0 else 0.0,
-    }), flush=True)
-
-    # One-time synchronous q4k bitcast-layout self-check AFTER the metric is
-    # out: the engine's background check (ops/pallas_q4k.self_check_async)
+    # One-time synchronous q4k bitcast-layout self-check AFTER the metrics
+    # are out: the engine's background check (ops/pallas_q4k.self_check_async)
     # never finishes inside a short-lived process, so its pass-marker would
     # never land. Paying the standalone compile once here (post-measurement,
     # compile queue idle) records the marker; every later process skips it.

@@ -103,6 +103,14 @@ def main() -> None:
     )
     # a live session keeps up iff per-chunk latency < chunk duration
     import json
+    # TTFT vs the tech report's 92-105 ms offline first-token bar (:102);
+    # vs_baseline > 1 means we beat the reference GPU number
+    print(json.dumps({
+        "metric": "stream_ttft_s",
+        "value": round(float(lat_np[0]), 3),
+        "unit": "s",
+        "vs_baseline": round(0.105 / max(float(lat_np[0]), 1e-9), 3),
+    }))
     print(json.dumps({
         "metric": "stream_p95_chunk_latency_s",
         "value": round(float(np.percentile(lat_np, 95)), 3),
