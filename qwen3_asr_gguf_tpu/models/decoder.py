@@ -587,6 +587,34 @@ def forward_step_layers(
     return h[0], cache
 
 
+def _gqa_attention_rows_q8(q, kw, ks, vw, vs, mask, scale):
+    """int8-KV twin of `_gqa_attention_rows`: kw/vw int8 [B, S, Hkv, d]
+    with per-(slot, head) f32 scales ks/vs [B, S, Hkv].
+
+    The scales FOLD INTO THE DOTS instead of dequantizing the window:
+    score[s] = (q . k_int8[s]) * ks[s] and out = sum_s (p[s]*vs[s]) *
+    v_int8[s] — exactly the dequantized math term-for-term, but the two
+    big reads stream int8 bytes (the KV window is the dominant HBM
+    traffic of a batched decode step: ~2x the weight bytes at batch 64,
+    so halving it is the serving-throughput lever — VERDICT r4 ask #3)."""
+    b, hq, d = q.shape
+    hkv = kw.shape[2]
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, d)
+    scores = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, kw.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (ks.transpose(0, 2, 1)[:, :, None, :] * scale)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pv = probs * vs.transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum(
+        "bkgs,bskd->bkgd", pv.astype(q.dtype), vw.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, hq, d).astype(q.dtype)
+
+
 def _gqa_attention_rows(q, kw, vw, mask, scale):
     """Per-row decode attention: q [B, Hq, d], kw/vw [B, S, Hkv, d],
     mask [B, S] -> [B, Hq, d]."""
@@ -620,8 +648,9 @@ def forward_step_rows(
     """Batched decode step WITHOUT vmapping the matmuls: activations stay
     [B, K] so quantized weights stream ONCE per step through the multi-row
     int4 kernel (or one MXU matmul for int8/dense) instead of once per row
-    under vmap. Attention/rope/norms batch naturally. bf16/f32 caches only
-    (serving allocates bf16).
+    under vmap. Attention/rope/norms batch naturally. bf16/f32 caches plus
+    int8 KV (per-(slot, head) scales, dots read int8 directly —
+    `_gqa_attention_rows_q8`).
 
     `tp_axis`: run under shard_map with Megatron-sharded weights and
     kv-head-sharded caches — same two psums as forward_step_layers
@@ -636,17 +665,36 @@ def forward_step_rows(
     rows = jnp.arange(b, dtype=jnp.int32)
     mask = jnp.arange(win, dtype=jnp.int32)[None, :] <= poss[:, None]
     dt = caches["k"][0].dtype
+    int8_kv = dt == jnp.int8
 
     h = embd
-    out: dict[str, list] = {"k": [], "v": []}
+    out: dict[str, list] = (
+        {"k": [], "v": [], "k_s": [], "v_s": []} if int8_kv else {"k": [], "v": []}
+    )
     for l, layer in enumerate(layer_list):
         attn_in = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _layer_qkv(layer, cfg, attn_in, cos, sin)  # [B, H, hd]
-        k_c = caches["k"][l].at[rows, poss].set(k.astype(dt))
-        v_c = caches["v"][l].at[rows, poss].set(v.astype(dt))
-        out["k"].append(k_c)
-        out["v"].append(v_c)
-        attn = _gqa_attention_rows(q, k_c[:, :win], v_c[:, :win], mask, scale)
+        if int8_kv:
+            kq, ksc = _quant_kv(k)  # [B, H, hd] int8, [B, H] f32
+            vq, vsc = _quant_kv(v)
+            k_c = caches["k"][l].at[rows, poss].set(kq)
+            v_c = caches["v"][l].at[rows, poss].set(vq)
+            ks_c = caches["k_s"][l].at[rows, poss].set(ksc)
+            vs_c = caches["v_s"][l].at[rows, poss].set(vsc)
+            out["k"].append(k_c)
+            out["v"].append(v_c)
+            out["k_s"].append(ks_c)
+            out["v_s"].append(vs_c)
+            attn = _gqa_attention_rows_q8(
+                q, k_c[:, :win], ks_c[:, :win], v_c[:, :win], vs_c[:, :win],
+                mask, scale,
+            )
+        else:
+            k_c = caches["k"][l].at[rows, poss].set(k.astype(dt))
+            v_c = caches["v"][l].at[rows, poss].set(v.astype(dt))
+            out["k"].append(k_c)
+            out["v"].append(v_c)
+            attn = _gqa_attention_rows(q, k_c[:, :win], v_c[:, :win], mask, scale)
         o_delta = matmul(attn.reshape(b, -1), layer["o_proj"])
         if tp_axis is not None:  # row-parallel o_proj partial product
             o_delta = jax.lax.psum(o_delta, tp_axis)

@@ -61,10 +61,12 @@ def _ram_mirror(sidecar_dir: Path) -> Path:
         return sidecar_dir
     try:
         import hashlib
+        import time as _time
 
         key = hashlib.sha1(str(sidecar_dir.resolve()).encode()).hexdigest()[:16]
         dst = Path(root) / f"{sidecar_dir.name}-{key}"
         dst.mkdir(parents=True, exist_ok=True)
+        _t0, _copied = _time.time(), 0
         for src in sidecar_dir.iterdir():
             if not src.is_file():
                 continue
@@ -77,6 +79,17 @@ def _ram_mirror(sidecar_dir: Path) -> Path:
             tmp = dst / f".{src.name}.{_os.getpid()}.tmp"
             _shutil.copy2(src, tmp)  # copy2 keeps mtime (freshness witness)
             _os.replace(tmp, out)
+            _copied += st.st_size
+        if _copied:
+            # a fresh machine pays this disk read ONCE; init numbers with a
+            # cold mirror are disk-bound, warm ones are link-bound — the log
+            # line makes the driver-tail init time interpretable
+            from .. import logger as _logger
+
+            _logger.info(
+                "sidecar mirror: copied %d MB to tmpfs in %.1fs (cold mirror)",
+                _copied >> 20, _time.time() - _t0,
+            )
         # drop mirror entries whose source vanished (stale layouts)
         live = {p.name for p in sidecar_dir.iterdir() if p.is_file()}
         for p in dst.iterdir():

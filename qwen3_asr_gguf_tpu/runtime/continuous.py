@@ -348,22 +348,22 @@ class ContinuousBatcher:
             nxt = jnp.where(done, tok, nxt)
             return cache, pos + 1, nxt, key, nxt_done, emitted
 
-        # rows path for every weight precision: activations stay [B, K] so
-        # weights stream/matmul ONCE per step. The vmapped twin batches the
-        # per-row dynamic cache updates into scatters and re-materializes
-        # the cache layout per step — measured 14 ms/step at batch 32
-        # (int8, v5e-1) and 40 ms/step at batch 64, vs the rows path's
-        # ~7 ms; the vmap body remains for int8 KV caches (their per-slot
-        # scale arrays aren't threaded by forward_step_rows) and as a
-        # diagnosis path via QWEN3_CB_VMAP_STEP=1.
-        use_rows = self.kv_dtype in (jnp.bfloat16, jnp.float32) and not os.environ.get(
-            "QWEN3_CB_VMAP_STEP"
-        )
+        # rows path for every weight precision AND every KV dtype:
+        # activations stay [B, K] so weights stream/matmul ONCE per step.
+        # The vmapped twin batches the per-row dynamic cache updates into
+        # scatters and re-materializes the cache layout per step — measured
+        # 14 ms/step at batch 32 (int8, v5e-1) and 40 ms/step at batch 64,
+        # vs the rows path's ~7 ms. int8 KV rides the rows body since r5
+        # (forward_step_rows threads the per-slot scales; the KV window is
+        # ~2x the weight bytes at batch 64, so int8 KV halves the dominant
+        # HBM term — r4's "int8 KV loses" measurement was the vmap body).
+        # The vmap body remains as a diagnosis path via QWEN3_CB_VMAP_STEP=1.
+        use_rows = not os.environ.get("QWEN3_CB_VMAP_STEP")
         tp = self._tp
         if tp > 1 and not use_rows:
             raise ValueError(
                 "tensor-parallel serving requires the rows decode body "
-                "(bf16/f32 KV cache); int8 KV is single-chip only"
+                "(unset QWEN3_CB_VMAP_STEP)"
             )
         tp_bodies: dict[int, object] = {}  # attn_window -> shard_map body
 

@@ -219,3 +219,55 @@ def test_forward_step_rows_matches_vmapped_steps(rng):
                 np.asarray(out_rows["k"][l][r]), np.asarray(out1["k"][l]),
                 rtol=2e-5, atol=2e-5,
             )
+
+
+def test_forward_step_rows_int8_kv_matches_per_row(rng):
+    """int8-KV rows decode step == per-row forward_step_layers with an
+    int8 cache. The rows body folds the per-(slot, head) scales into the
+    attention dots instead of dequantizing the window (the serving-
+    throughput lever at batch 64); the math is identical term-for-term,
+    so only dot-ordering float noise separates the two paths."""
+    params = dec.init_params(CFG, jax.random.key(6))
+    layers = dec.unstack_layers(params["layers"], CFG.num_layers)
+    b, s = 3, 32
+    kv_rng = np.random.default_rng(11)
+    caches_rows = {"k": [], "v": [], "k_s": [], "v_s": []}
+    for _ in range(CFG.num_layers):
+        dense_k = kv_rng.standard_normal(
+            (b, s, CFG.num_kv_heads, CFG.head_dim)).astype(np.float32) * 0.1
+        dense_v = kv_rng.standard_normal(
+            (b, s, CFG.num_kv_heads, CFG.head_dim)).astype(np.float32) * 0.1
+        kq, ks = dec._quant_kv(jnp.asarray(dense_k))
+        vq, vs = dec._quant_kv(jnp.asarray(dense_v))
+        caches_rows["k"].append(kq)
+        caches_rows["v"].append(vq)
+        caches_rows["k_s"].append(ks)
+        caches_rows["v_s"].append(vs)
+    poss = jnp.asarray([5, 9, 2], jnp.int32)
+    embd = jnp.asarray(rng.standard_normal((b, CFG.hidden_size)), jnp.float32) * 0.1
+
+    h_rows, out_rows = dec.forward_step_rows(
+        layers, params["final_norm"], CFG, embd, caches_rows, poss, attn_window=s
+    )
+    assert out_rows["k"][0].dtype == jnp.int8
+    for r in range(b):
+        cache_r = {
+            key: [caches_rows[key][l][r] for l in range(CFG.num_layers)]
+            for key in caches_rows
+        }
+        h1, out1 = dec.forward_step_layers(
+            layers, params["final_norm"], CFG, embd[r], cache_r,
+            jnp.int32(poss[r]), attn_window=s,
+        )
+        np.testing.assert_allclose(np.asarray(h_rows[r]), np.asarray(h1),
+                                   rtol=2e-3, atol=2e-3)
+        for l in range(CFG.num_layers):
+            # the newly written slot must hold the identical quantized KV
+            np.testing.assert_array_equal(
+                np.asarray(out_rows["k"][l][r][poss[r]]),
+                np.asarray(out1["k"][l][poss[r]]),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_rows["k_s"][l][r][poss[r]]),
+                np.asarray(out1["k_s"][l][poss[r]]), rtol=1e-6,
+            )
