@@ -324,6 +324,25 @@ def fidelity_evidence(timeout: float = 900.0) -> None:
             log(f"[fidelity] {line}")
     except Exception as e:
         log(f"[fidelity] cosine probe skipped ({e!r})")
+    # decoder perplexity delta, int4 (q4_k repack) vs f32, at 1.7B shapes
+    # (reference bar: q4_k PPL +8.7% vs fp16, README.md:154-157). SURVEY.md
+    # is the corpus: long, stable across rounds, tokenizes to >3 windows.
+    try:
+        llm = REPO / ".bench_cache" / "qwen3-asr-1.7b" / "qwen3_asr_llm.q4_k.gguf"
+        proc = subprocess.run(
+            [sys.executable, "-m", "qwen3_asr_gguf_tpu.cli.perplexity",
+             "--llm", str(llm), "--text", str(REPO / "SURVEY.md"),
+             "--precision", "int4", "--compare", "f32",
+             "--window", "512", "--max-tokens", "1536"],
+            cwd=str(REPO), timeout=timeout, capture_output=True, text=True,
+        )
+        for line in proc.stdout.strip().splitlines()[-3:]:
+            log(f"[fidelity] {line}")
+        if proc.returncode != 0:
+            log(f"[fidelity] ppl probe rc={proc.returncode}: "
+                f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}")
+    except Exception as e:
+        log(f"[fidelity] ppl probe skipped ({e!r})")
 
 
 def main() -> None:
