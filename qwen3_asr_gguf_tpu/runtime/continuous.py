@@ -101,7 +101,13 @@ class ContinuousBatcher:
     # compiled staging-prefill widths: 16-wide halves the per-cohort host
     # cost (dispatches + prompt builds amortize) — at 128-burst the
     # admission thread's host time, not the device, is the throughput wall
-    COHORT_SIZES = (1, 4, 8, 16)
+    # staged-admission widths: a 128-burst at batch 64 admits in 4 cohorts
+    # of 32 instead of 8 of 16 — each cohort program carries a fixed
+    # ~30-50 ms remote-dispatch RTT and small-M matmul inefficiency, so
+    # fewer/wider cohorts cut the admission device train that serializes
+    # with decode on one chip (measured 744 -> 818 s-audio/s from gating
+    # alone; the cohort train is the remaining ramp cost)
+    COHORT_SIZES = (1, 4, 8, 16, 32)
 
     def __init__(self, engine, *, max_batch: int = 8, block: int = 16,
                  max_new_tokens: Optional[int] = None):
@@ -189,6 +195,9 @@ class ContinuousBatcher:
         import os as _os
 
         self.pipeline = _os.environ.get("QWEN3_CB_PIPELINE") not in ("0", "")
+        # fill-gate hard cap (seconds); the gate normally exits 0.15 s
+        # after cohorts stop landing — see _loop
+        self._fill_gate_s = float(_os.environ.get("QWEN3_CB_FILL_MS", "1000")) / 1e3
 
         self._pending: List[_Request] = []
         self._ready: List[_Cohort] = []
@@ -1041,18 +1050,34 @@ class ContinuousBatcher:
                 self._work.wait(timeout=0.5)
                 continue
 
-            # backfill gate: a decode block costs the same device time with
-            # 3 active rows as with all B — when most rows are empty and
-            # admissions are in flight, give staging a short window to land
-            # instead of burning a mostly-empty block (matters at stream
-            # start and after bursts drain; steady state skips it)
-            if inflight is None and len(active) <= self.b // 2:
+            # fill gate: a decode block costs the same device time with
+            # 3 active rows as with all B — while admissions are in flight
+            # and rows are not full, give staging a window to land instead
+            # of burning partially-empty blocks. Under a 128-request burst
+            # the old 80 ms / half-full gate still dispatched ramp blocks at
+            # 16-48 of 64 rows: 9 blocks where ~5 are ideal (measured 744
+            # s-audio/s with decode fetch-wait 1.51 s of a 1.72 s wall).
+            # The gate waits while admission inflow exists (pending, staged,
+            # or mid-staging work) and rows are not full, hard-capped at
+            # FILL_MS. Inflow-gated: a lone request with an empty queue
+            # never waits here, and a trickle request waits only for its
+            # own staging pass (~0.1-0.2 s), which it needed anyway.
+            if inflight is None and len(active) < self.b:
                 t_gate = time.time()
-                while len(active) <= self.b // 2 and time.time() - t_gate < 0.08:
+                fill_s = self._fill_gate_s
+                while (
+                    len(active) < self.b and time.time() - t_gate < fill_s
+                ):
                     with self._lock:
                         inflow = bool(self._pending or self._ready) or self._n_staging > 0
                     if not inflow:
                         break
+                    # while inflow exists the DEVICE is not idling here —
+                    # it is running the staged cohorts' encode/prefill
+                    # programs, which a premature half-empty block would
+                    # only delay. The wait ends the moment admission goes
+                    # quiet (trickle: one staging pass, ~0.1-0.2 s) or rows
+                    # fill; fill_s caps pathological inflow.
                     # plain sleep, NOT _work.wait(): _work is usually
                     # already set here, so wait() returns immediately and
                     # the gate busy-spins, stealing the 1-core host from

@@ -188,6 +188,7 @@ def test_encoder_int8_sidecar_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(o1, o2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_bf16_encoder_rung(tmp_path):
     """precision=bf16 ships the encoder as f16 on the wire, bf16 on device
     (the reference's fp16 ONNX rung) and still transcribes."""

@@ -229,6 +229,7 @@ def test_engine_int8_precision_q4k_file(tmp_path):
     assert (d / "qwen3_asr_llm.q4_k.gguf.int8" / "final_norm.npy").exists()
 
 
+@pytest.mark.slow
 def test_engine_int4_precision_q4k_file(tmp_path):
     """int4 compute (MXU q4_k matvec layout) from a q4_k GGUF — the decode
     path streams 4-bit weights; on CPU the dense fallback covers it."""
@@ -333,6 +334,7 @@ def test_poisoned_aligner_warns_and_completes(model_dir, caplog):
         assert res.alignment is None
 
 
+@pytest.mark.slow
 def test_pipelined_dispatch_matches_synchronous(model_dir):
     """The pipelined chunk chain (device-assembled spec prompts, overlapped
     collect) must produce the SAME greedy transcription as the synchronous
@@ -355,6 +357,7 @@ def test_pipelined_dispatch_matches_synchronous(model_dir):
     assert r_pipe.performance["decode_tokens"] == r_sync.performance["decode_tokens"]
 
 
+@pytest.mark.slow
 def test_pipelined_abort_recovers(model_dir):
     """A repetition abort mid-pipeline discards the speculative chunk and
     re-decodes from the full prompt; transcription still completes."""
@@ -386,6 +389,7 @@ def test_pipelined_abort_recovers(model_dir):
     assert calls["n"] >= 3  # every chunk still decoded
 
 
+@pytest.mark.slow
 def test_pipelined_mismatch_falls_back(model_dir):
     """If the host would keep MORE stable tokens than the speculative
     prompt's clip (max_keep), the spec result is discarded and the chunk
@@ -552,6 +556,7 @@ def test_spec_align_falls_back_on_mismatch(spec_aligner):
     assert a._pre is not None and a._pre[0] == key
 
 
+@pytest.mark.slow
 def test_engine_spec_align_end_to_end(model_dir):
     """A full engine pass with the aligner: the speculative dispatch path
     must never change the transcription result, whether it validates or

@@ -89,4 +89,5 @@ def main():
         print(f"{name[:60]:60s} {us/1e3:9.2f} {us/ntok:8.1f} {count[name]:6d}")
 
 
-main()
+if __name__ == "__main__":
+    main()
