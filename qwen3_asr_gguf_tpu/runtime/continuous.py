@@ -101,13 +101,13 @@ class ContinuousBatcher:
     # compiled staging-prefill widths: 16-wide halves the per-cohort host
     # cost (dispatches + prompt builds amortize) — at 128-burst the
     # admission thread's host time, not the device, is the throughput wall
-    # staged-admission widths: a 128-burst at batch 64 admits in 4 cohorts
-    # of 32 instead of 8 of 16 — each cohort program carries a fixed
-    # ~30-50 ms remote-dispatch RTT and small-M matmul inefficiency, so
-    # fewer/wider cohorts cut the admission device train that serializes
-    # with decode on one chip (measured 744 -> 818 s-audio/s from gating
-    # alone; the cohort train is the remaining ramp cost)
-    COHORT_SIZES = (1, 4, 8, 16, 32)
+    # staged-admission widths. 16 is the measured knee: 32-wide cohorts
+    # (fewer programs, bigger matmul M) measured WORSE on the serving
+    # benchmark (574 vs 818 s-audio/s median at 128x10 s) — the wider
+    # encode dispatch doubles the admission thread's host time and the
+    # wider prefill program gains nothing the 1-deep staging overlap had
+    # not already hidden
+    COHORT_SIZES = (1, 4, 8, 16)
 
     def __init__(self, engine, *, max_batch: int = 8, block: int = 16,
                  max_new_tokens: Optional[int] = None):
