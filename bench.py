@@ -310,7 +310,7 @@ def subprocess_probe(name: str, cmd: list[str], timeout: float) -> None:
         log(f"[{name}] FAILED ({e!r}) — metric skipped")
 
 
-def fidelity_evidence(timeout: float = 900.0) -> None:
+def fidelity_evidence(timeout: float = 1500.0) -> None:
     """Per-round hardware fidelity bars next to the perf numbers
     (VERDICT r4 ask #8): int4-kernel-vs-dense cosine at real 1.7B shapes
     and the q4_k perplexity delta. stderr only — bars, not benchmarks."""
