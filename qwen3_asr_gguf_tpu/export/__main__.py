@@ -19,11 +19,24 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default="qwen3-asr-1.7b", help="synthetic architecture preset")
     p.add_argument("--quant", default="q4_k", choices=["q4_k", "q8_0", "f16", "f32"])
     p.add_argument("--aligner", action="store_true", help="export as forced-aligner model")
+    p.add_argument(
+        "--llm", action="store_true",
+        help="convert a plain Qwen3ForCausalLM text checkpoint to one decoder GGUF",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    from .convert import convert_hf_checkpoint, make_synthetic_checkpoint
+    from .convert import convert_hf_checkpoint, convert_text_llm, make_synthetic_checkpoint
 
+    if args.llm:
+        if args.synthetic:
+            p.error("--llm requires --hf (a real text checkpoint)")
+        cfg = convert_text_llm(args.hf, args.out, quant=args.quant)
+        print(
+            f"wrote {args.out}: text {cfg.num_layers}L/{cfg.hidden_size}d "
+            f"vocab {cfg.vocab_size}, quant={args.quant}"
+        )
+        return 0
     if args.synthetic:
         thinker = make_synthetic_checkpoint(
             args.out, args.preset, seed=args.seed, quant=args.quant, aligner=args.aligner

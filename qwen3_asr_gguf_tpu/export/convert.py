@@ -190,6 +190,84 @@ _ENC_LAYER_HF = {
 }
 
 
+def convert_text_llm(
+    hf_dir: str,
+    out_path: str,
+    *,
+    quant: str = "q4_k",
+) -> "TextDecoderConfig":
+    """Plain Qwen3-family text-LLM HF checkpoint dir -> one decoder GGUF.
+
+    Converter breadth beyond the ASR thinker family: the reference vendors
+    llama.cpp's convert_hf_to_gguf.py (~250 archs) for this step; the
+    architectures this framework's decoder actually executes are the
+    Qwen3 text family (q/k-norm attention, no qkv biases — the same math
+    as the ASR thinker, models/decoder.py), so any `Qwen3ForCausalLM`
+    checkpoint (0.6B..8B, incl. tie_word_embeddings ones that ship no
+    lm_head tensor) converts to a GGUF that `load_decoder_gguf` +
+    `runtime.generate.Generator` run directly. Anything else fails loudly
+    here rather than emitting a file whose forward pass would be wrong.
+    """
+    from ..models.configs import TextDecoderConfig
+
+    with open(Path(hf_dir) / "config.json", encoding="utf-8") as f:
+        hf_cfg = json.load(f)
+    archs = hf_cfg.get("architectures", [])
+    if "Qwen3ForCausalLM" not in archs:
+        raise ValueError(
+            f"unsupported text-LLM architecture {archs}: this converter "
+            "emits checkpoints for the Qwen3 decoder this framework "
+            "executes (q/k-norm attention, bias-free projections); "
+            "Qwen2-style models (qkv biases, no q/k norm) would load but "
+            "compute the wrong function"
+        )
+    state = _load_hf_state_dict(hf_dir)
+
+    text_cfg = TextDecoderConfig(
+        vocab_size=hf_cfg.get("vocab_size", 151936),
+        hidden_size=hf_cfg.get("hidden_size", 2048),
+        num_layers=hf_cfg.get("num_hidden_layers", 28),
+        num_heads=hf_cfg.get("num_attention_heads", 16),
+        num_kv_heads=hf_cfg.get("num_key_value_heads", 8),
+        head_dim=hf_cfg.get("head_dim", 128),
+        intermediate_size=hf_cfg.get("intermediate_size", 6144),
+        rms_norm_eps=hf_cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=hf_cfg.get("rope_theta", 5e6),
+    )
+
+    def g(name):
+        return state[name].astype(np.float32)
+
+    embed = g("model.embed_tokens.weight")
+    # small Qwen3 checkpoints tie the head; HF then omits lm_head.weight
+    lm_head = g("lm_head.weight") if "lm_head.weight" in state else embed
+    dec_params = {
+        "embed": embed,
+        "layers": {
+            mine: np.stack(
+                [g(f"model.layers.{i}.{suffix}") for i in range(text_cfg.num_layers)]
+            )
+            for mine, suffix in _DEC_LAYER_HF.items()
+        },
+        "final_norm": g("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+
+    tok_json = Path(hf_dir) / "tokenizer.json"
+    if tok_json.exists():
+        tok = BPETokenizer.from_hf_tokenizer_json(str(tok_json))
+    else:
+        tok = build_synthetic_tokenizer(text_cfg.vocab_size)
+
+    out = Path(out_path)
+    if out.suffix != ".gguf":  # treat as a directory
+        out.mkdir(parents=True, exist_ok=True)
+        out = out / f"qwen3_llm.{quant}.gguf"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    P.save_decoder_gguf(str(out), text_cfg, dec_params, tok, quant=quant, arch="qwen3")
+    return text_cfg
+
+
 def _load_hf_state_dict(hf_dir: str) -> dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 
