@@ -160,6 +160,20 @@ def ensure_checkpoint(preset_name: str, *, aligner: str | None = None) -> Path:
     return cache
 
 
+def _asr_with_retry(engine, audio, tries: int = 3) -> None:
+    """One warmup ASR pass, retried on transient device/service errors."""
+    for attempt in range(tries):
+        try:
+            engine.asr(audio, context="", language="Chinese", temperature=0.4)
+            return
+        except Exception as e:
+            if attempt == tries - 1:
+                raise
+            log(f"warmup pass failed ({type(e).__name__}: {e}) — "
+                f"retry {attempt + 1}/{tries - 1} in 20s")
+            time.sleep(20.0)
+
+
 def rtf_scenario(preset_name: str, audio: np.ndarray, *, on_tpu: bool,
                  runs: int, baseline: float, headline: bool,
                  aligner_dir: Path | None = None) -> float:
@@ -217,21 +231,34 @@ def rtf_scenario(preset_name: str, audio: np.ndarray, *, on_tpu: bool,
     # warmup: one full-length pass compiles every program shape the timed
     # runs hit (a 41 s warmup left run 1 paying a fresh c1-prefill compile);
     # second pass: sampled transcripts vary run to run, so the aligner can
-    # hit a neighboring (prompt, positions) bucket the first pass missed
+    # hit a neighboring (prompt, positions) bucket the first pass missed.
+    # Retried: the remote compile service drops connections under load
+    # ("response body closed before all bytes were read", observed killing
+    # a serve prewarm mid-round) — already-compiled programs persist in the
+    # cache, so a retry resumes where the failed pass stopped.
     n_cache0 = compile_cache_entries()
     t0 = time.time()
-    engine.asr(audio, context="", language="Chinese", temperature=0.4)
-    engine.asr(audio, context="", language="Chinese", temperature=0.4)
+    _asr_with_retry(engine, audio)
+    _asr_with_retry(engine, audio)
     n_new = compile_cache_entries() - n_cache0
     log(f"warmup (compile) {time.time()-t0:.1f}s | compile cache: "
         f"{n_cache0} entries, {n_new} new persisted")
 
     results = []
-    for _ in range(runs if on_tpu else 1):
+    attempts = 0
+    while len(results) < (runs if on_tpu else 1) and attempts < runs + 3:
+        attempts += 1
         t0 = time.time()
-        res = engine.asr(audio, context="", language="Chinese", temperature=0.4)
+        try:
+            res = engine.asr(audio, context="", language="Chinese", temperature=0.4)
+        except Exception as e:  # transient device/service hiccup: drop the run
+            log(f"timed run failed ({type(e).__name__}: {e}) — retrying")
+            time.sleep(10.0)
+            continue
         wall = time.time() - t0
         results.append((wall, res.performance))
+    if not results:
+        raise RuntimeError(f"all {attempts} timed runs failed")
 
     # headline = MEDIAN (VERDICT r3 weak #5: best-of-5 met the 0.01 target
     # only on the luckiest run); min is logged alongside for context
@@ -372,10 +399,15 @@ def main() -> None:
 
     if on_tpu and not os.environ.get("QWEN3_BENCH_HEADLINE_ONLY"):
         # secondary scenarios (VERDICT r4 asks #4/#5): driver-visible
-        # serving + streaming + 0.6B numbers, each bounded and skippable
-        rtf_scenario("qwen3-asr-0.6b", audio, on_tpu=True, runs=3,
-                     baseline=BASELINE_RTF_06B, headline=False,
-                     aligner_dir=REPO / ".bench_cache" / preset_name)
+        # serving + streaming + 0.6B numbers, each bounded and skippable.
+        # The 0.6B scenario must never take the already-measured headline
+        # down with it (a RESOURCE_EXHAUSTED here once zeroed a whole run).
+        try:
+            rtf_scenario("qwen3-asr-0.6b", audio, on_tpu=True, runs=3,
+                         baseline=BASELINE_RTF_06B, headline=False,
+                         aligner_dir=REPO / ".bench_cache" / preset_name)
+        except Exception as e:
+            log(f"[0.6b] FAILED ({e!r}) — metric skipped")
         subprocess_probe(
             "stream", ["tools/bench_stream.py", "--seconds", "20"],
             timeout=1500,

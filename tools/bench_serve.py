@@ -82,7 +82,18 @@ def main() -> None:
     # scatter plus every decode window (thread-raced submits could split a
     # width and leave its programs to load inside the measured run)
     t0 = time.time()
-    cb.prewarm(audio_secs=(args.audio_sec,), language="Chinese")
+    for attempt in range(3):
+        try:
+            cb.prewarm(audio_secs=(args.audio_sec,), language="Chinese")
+            break
+        except Exception as e:
+            # the remote compile service drops connections under load;
+            # compiled programs persist, so a retry resumes the prewarm
+            if attempt == 2:
+                raise
+            print(f"prewarm failed ({type(e).__name__}: {e}) — retrying in 20s",
+                  file=sys.stderr, flush=True)
+            time.sleep(20.0)
     print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     latencies: list = []
