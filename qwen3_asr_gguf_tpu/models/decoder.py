@@ -20,6 +20,7 @@ mirroring reference asr.py:124).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -666,6 +667,12 @@ def forward_step_rows(
     mask = jnp.arange(win, dtype=jnp.int32)[None, :] <= poss[:, None]
     dt = caches["k"][0].dtype
     int8_kv = dt == jnp.int8
+    use_rows_q8_kernel = False
+    if int8_kv and os.environ.get("QWEN3_ROWS_Q8_ATTN", "pallas") != "xla":
+        from ..ops.pallas_attn import rows_q8_supported
+
+        use_rows_q8_kernel = rows_q8_supported(
+            (b, cfg.num_heads, cfg.head_dim), caches["k"][0].shape[2], win)
 
     h = embd
     out: dict[str, list] = (
@@ -685,10 +692,19 @@ def forward_step_rows(
             out["v"].append(v_c)
             out["k_s"].append(ks_c)
             out["v_s"].append(vs_c)
-            attn = _gqa_attention_rows_q8(
-                q, k_c[:, :win], ks_c[:, :win], v_c[:, :win], vs_c[:, :win],
-                mask, scale,
-            )
+            if use_rows_q8_kernel:
+                # streams the int8 window once, VMEM-only dequant (the XLA
+                # twin materializes the bf16 cast at batch width, costing
+                # MORE traffic than bf16 KV — ops/pallas_attn rows section)
+                from ..ops.pallas_attn import gqa_rows_q8_attention
+
+                attn = gqa_rows_q8_attention(
+                    q, k_c, ks_c, v_c, vs_c, poss, scale, win)
+            else:
+                attn = _gqa_attention_rows_q8(
+                    q, k_c[:, :win], ks_c[:, :win], v_c[:, :win],
+                    vs_c[:, :win], mask, scale,
+                )
         else:
             k_c = caches["k"][l].at[rows, poss].set(k.astype(dt))
             v_c = caches["v"][l].at[rows, poss].set(v.astype(dt))

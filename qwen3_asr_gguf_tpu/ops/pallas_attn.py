@@ -133,3 +133,135 @@ def gqa_decode_attention(q, k_full, v_full, pos, scale: float, win: int):
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     out = _attn_call(pos_arr, qr, k_full, v_full, float(scale), int(win), group)
     return out.reshape(1, hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Batched-rows int8-KV decode attention (the serving decode body).
+#
+# The XLA twin (decoder._gqa_attention_rows_q8) folds the per-(slot, head)
+# scales into the dots, but XLA materializes the int8->bf16 window cast as
+# its own HBM-resident fusion output at batch width — measured 689 vs 818
+# s-audio/s against bf16 KV at batch 64, i.e. int8 KV LOST despite half the
+# bytes. This kernel streams the int8 tiles once and keeps the cast, the
+# scale folds, and the online softmax entirely in VMEM, so the dominant
+# HBM term of a batched decode step (the KV window: ~2x the weight bytes
+# at batch 64, VERDICT r4 ask #3) is actually halved.
+#
+# Per-kv-head unrolled structure: one [g, d] x [d, TS] MXU dot per kv head
+# per tile (g = Hq/Hkv). Unlike the single-token kernel's all-pairs trick
+# this wastes no MXU work, and — more importantly — every operand keeps a
+# natural Mosaic layout: k/v tiles slice to [TS, d] (lane = d), scale rows
+# reshape [TS] -> [1, TS] only.
+# ---------------------------------------------------------------------------
+
+
+def _rows_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                 m_s, l_s, acc_s, *, scale, hkv, group):
+    i = pl.program_id(0)  # batch row
+    j = pl.program_id(1)  # window tile (innermost: streams row i's window)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0]  # [Hq, d]
+    ts = k_ref.shape[1]
+    pos = pos_ref[i]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (group, ts), 1) + j * ts
+    keep = slot <= pos
+
+    for h in range(hkv):
+        r0, r1 = h * group, (h + 1) * group
+        qh = q[r0:r1]  # [g, d]
+        kh = k_ref[0, :, h, :].astype(qh.dtype)  # int8 -> compute dtype, VMEM-only
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [g, TS]
+        ksh = ks_ref[0, :, h].reshape(1, ts)  # f32 per-slot K scales
+        s = s * (ksh * scale)
+        s = jnp.where(keep, s, -1e30)
+
+        m_prev = m_s[r0:r1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)  # [g, TS] f32
+        l_s[r0:r1] = l_s[r0:r1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        vsh = vs_ref[0, :, h].reshape(1, ts)
+        pf = (p * vsh).astype(qh.dtype)  # scale fold mirrors the XLA twin
+        vh = v_ref[0, :, h, :].astype(qh.dtype)
+        pv = jax.lax.dot_general(
+            pf, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [g, d]
+        acc_s[r0:r1] = acc_s[r0:r1] * alpha + pv
+        m_s[r0:r1] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "win"))
+def _rows_attn_call(poss, q, k_full, ks_full, v_full, vs_full,
+                    scale: float, win: int):
+    b, hq, d = q.shape
+    hkv = k_full.shape[2]
+    group = hq // hkv
+    grid = (b, win // TS)
+    return pl.pallas_call(
+        functools.partial(_rows_kernel, scale=scale, hkv=hkv, group=group),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, hkv, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, hkv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, hkv, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, hkv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * win * hq * d,
+            bytes_accessed=b * win * hkv * (2 * d + 8),
+            transcendentals=b * win * hq,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(poss, q, k_full, ks_full, v_full, vs_full)
+
+
+def rows_q8_supported(q_shape, hkv: int, win: int) -> bool:
+    """[B, Hq, d] queries, TS-aligned window, lane-exact head_dim."""
+    if len(q_shape) != 3:
+        return False
+    b, hq, d = q_shape
+    return (win % TS == 0 and win >= TS and d % 128 == 0
+            and hq % hkv == 0 and b >= 1)
+
+
+def gqa_rows_q8_attention(q, k_full, ks_full, v_full, vs_full, poss,
+                          scale: float, win: int):
+    """q [B, Hq, d]; k/v the FULL int8 caches [B, S, Hkv, d] with f32
+    scales [B, S, Hkv]; poss [B] per-row last valid slot; win static
+    (<= S, TS-aligned) -> [B, Hq, d]. Matches
+    decoder._gqa_attention_rows_q8(q, k[:, :win], ..., slot<=pos mask)."""
+    out = _rows_attn_call(
+        jnp.asarray(poss, jnp.int32), q, k_full, ks_full, v_full, vs_full,
+        float(scale), int(win),
+    )
+    return out.astype(q.dtype)
